@@ -1,0 +1,34 @@
+"""ExaConstit-TPU: a TPU-native crystal-plasticity FEM framework.
+
+A ground-up JAX/XLA re-design of the capabilities of LLNL/ExaConstit
+(reference: /root/reference): a nonlinear, quasi-static, implicit
+velocity-based solid-mechanics solver for polycrystal homogenization,
+with ExaCMech-equivalent crystal-plasticity material models evaluated
+at every quadrature point.
+
+Design stance (TPU-first, not a port):
+  * All quadrature-point state lives in pytrees of ``f64[nelems, nqpts, vdim]``
+    arrays sharded on the element axis across a ``jax.sharding.Mesh``.
+  * The matrix-free operator action is batched tensor contractions
+    (einsum / batched matmul on the MXU), not per-element loops.
+  * The per-point implicit crystal-plasticity solve is a vmapped batched
+    Newton iteration (`lax.while_loop`) with a consistent tangent from the
+    implicit-function theorem.
+  * Newton-Krylov outer/inner solves are jit-compiled `lax.while_loop`
+    fixed-point iterations with XLA collectives for all reductions.
+
+Numerical parity targets the reference test suite
+(`/root/reference/test/data/*.toml` golden average-stress files).
+"""
+
+import os
+
+# The reference (MFEM/hypre/ExaCMech) is strictly double precision; the
+# regression bar is 1e-10 absolute on volume-averaged stress.  TPU f64 is
+# emulated but correct; a documented mixed-precision mode exists for
+# throughput benchmarks (see exaconstit_tpu.config).
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
