@@ -31,4 +31,15 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the implicit material solve compiles to a
+# large XLA program; caching makes repeated runs (tests, driver restarts)
+# skip recompilation.
+_cache_dir = os.environ.get("EXACONSTIT_TPU_CACHE",
+                            os.path.expanduser("~/.cache/exaconstit_tpu_xla"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without these flags
+    pass
+
 __version__ = "0.1.0"

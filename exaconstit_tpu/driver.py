@@ -1,0 +1,538 @@
+"""System driver: time stepping, Newton-Krylov solves, BCs, outputs.
+
+TPU-native equivalent of the reference's SystemDriver + ExaNewtonSolver +
+main time loop (src/system_driver.cpp, src/mechanics_solver.cpp,
+src/mechanics_driver.cpp:837-968):
+
+* per Newton iteration, one jitted function recomputes geometry from the
+  advanced coordinates (moving mesh), evaluates the material at every
+  quadrature point, forms the masked residual, assembles the EA/PA
+  gradient data and the Jacobi diagonal — all fused by XLA;
+* the Krylov solve is a second jitted while_loop (solvers/krylov.py);
+* the outer Newton loop, auto-dt retry, BC-change corrector (SolveInit)
+  and file outputs run on the host, mirroring the reference's control
+  flow exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.options import (Assembly, ExaOptions, KrylovSolver, MechType,
+                             NLSolver, OriType, parse_options)
+from .fem import operators as ops
+from .fem.geometry import grad_calc, jacobians
+from .fem.space import FESpace
+from .mesh.voxel import HexMesh, make_cartesian_mesh
+from .models.ecmech import ECMechModel, build_model
+from .solvers.krylov import gmres, minres, pcg
+from .utils import tensors as tn
+
+
+# ----------------------------------------------------------------------------
+# Boundary conditions (BCManager + BCData equivalents)
+# ----------------------------------------------------------------------------
+
+_COMPONENTS = {
+    0: (False, False, False), 1: (True, False, False),
+    2: (False, True, False), 3: (False, False, True),
+    4: (True, True, False), 5: (False, True, True),
+    6: (True, False, True), 7: (True, True, True),
+}
+
+
+@dataclasses.dataclass
+class StepBCs:
+    """Resolved boundary conditions for one BC epoch (update step)."""
+
+    ess_mask: np.ndarray  # (nnodes, 3) bool: all constrained dofs
+    vel_nodes: np.ndarray  # node ids on active velocity-BC attributes
+    vel_values: np.ndarray  # (len(vel_nodes), 3) scale*essVel at those nodes
+    vgrad_mask: np.ndarray  # (nnodes, 3) bool: velocity-gradient BC dofs
+    vgrad: np.ndarray  # (3, 3)
+    has_vel: bool
+    has_vgrad: bool
+
+
+def resolve_step_bcs(opt: ExaOptions, fes: FESpace, step: int) -> StepBCs:
+    """Mirror BCManager::updateBCData (src/BCManager.cpp:10-142)."""
+    ids_tot = opt.map_ess_id["total"][step]
+    comps_tot = opt.map_ess_comp["total"][step]
+    active = {}
+    for i, c in zip(ids_tot, comps_tot):
+        if c != 0:
+            cur = active.get(i, (False, False, False))
+            newc = _COMPONENTS[abs(c)]
+            active[i] = tuple(a or b for a, b in zip(cur, newc))
+    ess_mask = fes.ess_mask(active)
+
+    # velocity BCs
+    ids_v = opt.map_ess_id["ess_vel"][step]
+    comps_v = opt.map_ess_comp["ess_vel"][step]
+    vals_v = opt.map_ess_vel.get(step, [])
+    node_vals = {}
+    for i, (attr, c) in enumerate(zip(ids_v, comps_v)):
+        if c == 0:
+            continue
+        scale = np.array(_COMPONENTS[c], dtype=float)
+        vel = np.array(vals_v[3 * i:3 * i + 3], dtype=float)
+        for n in fes.mesh.bdr_nodes.get(int(attr), []):
+            node_vals[int(n)] = vel * scale
+    if node_vals:
+        vel_nodes = np.array(sorted(node_vals.keys()), dtype=np.int32)
+        vel_values = np.stack([node_vals[int(n)] for n in vel_nodes])
+    else:
+        vel_nodes = np.zeros(0, dtype=np.int32)
+        vel_values = np.zeros((0, 3))
+
+    # velocity-gradient BCs
+    ids_g = opt.map_ess_id["ess_vgrad"][step]
+    comps_g = opt.map_ess_comp["ess_vgrad"][step]
+    active_g = {}
+    for attr, c in zip(ids_g, comps_g):
+        if c != 0:
+            cur = active_g.get(attr, (False, False, False))
+            newc = _COMPONENTS[c]
+            active_g[attr] = tuple(a or b for a, b in zip(cur, newc))
+    vgrad_mask = fes.ess_mask(active_g)
+    flat = opt.map_ess_vgrad.get(step, [])
+    vgrad = np.array(flat, dtype=float).reshape(3, 3) if len(flat) == 9 \
+        else np.zeros((3, 3))
+
+    return StepBCs(ess_mask=ess_mask, vel_nodes=vel_nodes,
+                   vel_values=vel_values, vgrad_mask=vgrad_mask, vgrad=vgrad,
+                   has_vel=len(vel_nodes) > 0, has_vgrad=bool(active_g))
+
+
+# ----------------------------------------------------------------------------
+# The mechanics system
+# ----------------------------------------------------------------------------
+
+class MechSystem:
+    """Owns the FE space, material model, and jitted compute kernels."""
+
+    def __init__(self, opt: ExaOptions, mesh: HexMesh, model: ECMechModel):
+        self.opt = opt
+        self.fes = FESpace.create(mesh)
+        self.model = model
+        self.dshape = jnp.asarray(self.fes.ref.dshape)
+        self.qwts = jnp.asarray(self.fes.ref.qwts)
+        self.assembly = opt.assembly
+        nn = self.fes.num_nodes
+
+        ref = self.fes.ref
+
+        def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords):
+            """Residual + gradient data + diagonal at velocity iterate v."""
+            x_end = x_beg + dt * v if advance_coords else x_beg
+            el_x = self.fes.gather(x_end)
+            el_v = self.fes.gather(v)
+            J = jacobians(el_x, self.dshape)
+            vgrad = grad_calc(el_v, self.dshape, J)
+            ne, nq = vgrad.shape[0], vgrad.shape[1]
+            stress, state_end, c6 = model.model_setup(
+                dt, vgrad.reshape(ne * nq, 3, 3),
+                state_beg.reshape(ne * nq, -1))
+            stress_q = stress.reshape(ne, nq, 6)
+            c6_q = c6.reshape(ne, nq, 6, 6)
+            force = ops.residual_force(el_x, self.dshape, self.qwts, stress_q)
+            r = self.fes.scatter_add(force).reshape(-1)
+            r = jnp.where(ess_mask.reshape(-1), 0.0, r)
+            if self.assembly == Assembly.PA:
+                k_data = ops.assemble_pa_gradient(el_x, self.dshape,
+                                                  self.qwts, c6_q, dt)
+                dloc = ops.pa_diagonal(el_x, self.dshape, self.qwts, c6_q, dt)
+            else:  # EA covers the reference's EA and FULL paths
+                k_data = ops.assemble_ea_gradient(el_x, self.dshape,
+                                                  self.qwts, c6_q, dt)
+                dloc = ops.ea_diagonal(k_data, ref.nnodes)
+            diag = self.fes.scatter_add(dloc).reshape(-1)
+            diag = jnp.where(ess_mask.reshape(-1), 1.0, diag)
+            return r, k_data, diag, stress_q, state_end.reshape(ne, nq, -1)
+
+        self._setup = jax.jit(setup_fn, static_argnums=(5,))
+
+        def residual_only(v, x_beg, state_beg, dt, ess_mask):
+            x_end = x_beg + dt * v
+            el_x = self.fes.gather(x_end)
+            el_v = self.fes.gather(v)
+            J = jacobians(el_x, self.dshape)
+            vgrad = grad_calc(el_v, self.dshape, J)
+            ne, nq = vgrad.shape[0], vgrad.shape[1]
+            stress, _, _ = model.model_setup(
+                dt, vgrad.reshape(ne * nq, 3, 3),
+                state_beg.reshape(ne * nq, -1), compute_tangent=False)
+            force = ops.residual_force(el_x, self.dshape, self.qwts,
+                                       stress.reshape(ne, nq, 6))
+            r = self.fes.scatter_add(force).reshape(-1)
+            return jnp.where(ess_mask.reshape(-1), 0.0, r)
+
+        self._residual_only = jax.jit(residual_only)
+
+        def grad_matvec(k_data, x_flat, ess_mask_flat):
+            """y = K x with essential-dof identity rows/cols."""
+            x = jnp.where(ess_mask_flat, 0.0, x_flat).reshape(nn, 3)
+            el_u = self.fes.gather(x)
+            if self.assembly == Assembly.PA:
+                el_y = ops.apply_pa_gradient(k_data, self.dshape, el_u)
+            else:
+                el_y = ops.apply_ea_gradient(k_data, el_u)
+            y = self.fes.scatter_add(el_y).reshape(-1)
+            return jnp.where(ess_mask_flat, x_flat, y)
+
+        def grad_matvec_unconstrained(k_data, x_flat):
+            x = x_flat.reshape(nn, 3)
+            el_u = self.fes.gather(x)
+            if self.assembly == Assembly.PA:
+                el_y = ops.apply_pa_gradient(k_data, self.dshape, el_u)
+            else:
+                el_y = ops.apply_ea_gradient(k_data, el_u)
+            return self.fes.scatter_add(el_y).reshape(-1)
+
+        self._grad_matvec_unconstrained = jax.jit(grad_matvec_unconstrained)
+
+        if opt.solver == KrylovSolver.PCG:
+            krylov = pcg
+        elif opt.solver == KrylovSolver.MINRES:
+            krylov = minres
+        else:
+            krylov = gmres
+
+        def krylov_solve(k_data, diag, b, ess_mask_flat):
+            matvec = lambda x: grad_matvec(k_data, x, ess_mask_flat)
+            dinv = 1.0 / diag
+            precond = lambda v: dinv * v
+            return krylov(matvec, precond, b, opt.krylov_rel_tol,
+                          opt.krylov_abs_tol, opt.krylov_iter)
+
+        self._krylov = jax.jit(krylov_solve)
+
+        def vol_avg(values_q, el_x, divide):
+            """Volume-weighted average (or integral) of a qpt field."""
+            wts = ops.quad_point_volumes(el_x, self.dshape, self.qwts)
+            s = jnp.einsum("eq,eqk->k", wts, values_q)
+            if divide:
+                return s / jnp.sum(wts)
+            return s
+
+        self._vol_avg = jax.jit(vol_avg, static_argnums=(2,))
+
+    # -- Newton solve (host loop; ExaNewtonSolver::Mult semantics) ---------
+    def newton_solve(self, v, x_beg, state, dt, ess_mask, verbose=True):
+        opt = self.opt
+        ess_flat = jnp.asarray(ess_mask.reshape(-1))
+        scale = 1.0
+        r, k_data, diag, stress, state_end = self._setup(
+            v, x_beg, state, dt, ess_flat, True)
+        norm = float(jnp.linalg.norm(r))
+        norm0 = norm
+        norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
+        it = 0
+        converged = False
+        while True:
+            if not np.isfinite(norm):
+                break
+            if verbose:
+                print(f"  Newton iteration {it:2d} : ||r|| = {norm:.6e}" +
+                      (f", ||r||/||r_0|| = {norm/norm0:.6e}" if it else ""))
+            if norm <= norm_max:
+                converged = True
+                break
+            if it >= opt.newton_iter:
+                break
+            c, kit, kdone = self._krylov(k_data, diag, r, ess_flat)
+
+            if opt.nl_solver == NLSolver.NRLS:
+                # 3-point quadratic line search
+                # (ExaNewtonLSSolver::Mult, mechanics_solver.cpp:219-257)
+                q1 = norm
+                r3 = self._residual_only(v - c.reshape(-1, 3), x_beg, state,
+                                         dt, ess_flat)
+                q3 = float(jnp.linalg.norm(r3))
+                r2 = self._residual_only(v - 0.5 * c.reshape(-1, 3), x_beg,
+                                         state, dt, ess_flat)
+                q2 = float(jnp.linalg.norm(r2))
+                denom = q1 - 2.0 * q2 + q3
+                eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom) \
+                    if denom != 0 else 1.0
+                if denom > 0 and 0 < eps < 1:
+                    scale = eps
+                elif q3 < q1:
+                    scale = 1.0
+                else:
+                    scale = 0.05
+
+            v = v - scale * c.reshape(-1, 3)
+            r, k_data, diag, stress, state_end = self._setup(
+                v, x_beg, state, dt, ess_flat, True)
+            norm_prev = norm
+            norm = float(jnp.linalg.norm(r))
+            it += 1
+            if opt.nl_solver == NLSolver.NR:
+                # relaxation heuristic (mechanics_solver.cpp:128-138)
+                scale = 0.5 if norm / norm_prev > 0.5 else 1.0
+
+        return v, stress, state_end, converged, it, norm
+
+    # -- BC-change corrector (SystemDriver::SolveInit) ----------------------
+    def solve_init(self, v_prev, v_new, x_beg, state, dt, ess_mask):
+        ess_flat = jnp.asarray(ess_mask.reshape(-1))
+        delta = jnp.where(ess_flat, (v_new - v_prev).reshape(-1), 0.0)
+        # local (unconstrained) gradient action on the BC delta + residual,
+        # with geometry NOT advanced (Setup<false>,
+        # mechanics_operator.cpp:446-483)
+        r, k_data, diag, _, _ = self._setup(v_prev, x_beg, state, dt,
+                                            ess_flat, False)
+        y = self._grad_matvec_unconstrained(k_data, delta)
+        y = jnp.where(ess_flat, 0.0, y) + r
+        c, kit, kdone = self._krylov(k_data, diag, y, ess_flat)
+        return v_prev - c.reshape(-1, 3)
+
+
+# ----------------------------------------------------------------------------
+# Simulation driver (main time loop)
+# ----------------------------------------------------------------------------
+
+class Simulation:
+    def __init__(self, opt: ExaOptions, workdir: str | None = None):
+        self.opt = opt
+        self.workdir = workdir or os.getcwd()
+
+        # ---- mesh (mechanics_driver.cpp:236-317) ----
+        if opt.mesh_type.value == "auto":
+            gmap = np.loadtxt(opt.abspath(opt.grain_map)).reshape(-1)
+            self.mesh = make_cartesian_mesh(
+                opt.nxyz, opt.mxyz, order=opt.order, grain_map=gmap,
+                ref_levels=opt.ser_ref_levels + opt.par_ref_levels)
+        else:
+            from .mesh.mfem_io import read_mfem_mesh
+            self.mesh = read_mfem_mesh(opt.abspath(opt.mesh_file),
+                                       ref_levels=opt.ser_ref_levels +
+                                       opt.par_ref_levels)
+
+        props = np.loadtxt(opt.abspath(opt.props_file)).reshape(-1)
+        assert props.size == opt.nProps
+        self.props = props
+        self.model = build_model(opt, props)
+        self.system = MechSystem(opt, self.mesh, self.model)
+        fes = self.system.fes
+
+        # ---- orientations -> per-element quats ----
+        ori = np.loadtxt(opt.abspath(opt.ori_file)).reshape(-1)
+        if opt.ori_type == OriType.QUAT:
+            quats = ori.reshape(opt.ngrains, 4)
+            # normalize (reference files are unit but be safe)
+            quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)
+        elif opt.ori_type == OriType.EULER:
+            quats = _euler_to_quat(ori.reshape(opt.ngrains, 3))
+        else:
+            raise NotImplementedError("custom orientation stride")
+        grain_ids = self.mesh.elem_attr.astype(int) - 1
+        elem_quats = quats[grain_ids]  # (nelems, 4)
+        nq = fes.nqpts
+        pt_quats = np.repeat(elem_quats, nq, axis=0)
+
+        # ---- state init ----
+        state0 = self.model.init_state(pt_quats)
+        # apply non-zero entries of the state-vars file where the model's
+        # own initialization leaves defaults (reference: setStateVarData
+        # merges the file with ExaCMech's histInit; all test files are 0)
+        self.state = jnp.asarray(state0.reshape(fes.num_elems, nq, -1))
+        self.stress = jnp.zeros((fes.num_elems, nq, 6))
+
+        # ---- coordinates / velocity ----
+        self.x_ref = jnp.asarray(self.mesh.coords)
+        self.x_beg = self.x_ref
+        self.x_cur = self.x_ref
+        self.v = jnp.zeros_like(self.x_ref)
+
+        # ---- time stepping ----
+        if opt.dt_cust:
+            dts = np.loadtxt(opt.abspath(opt.dt_file)).reshape(-1)
+            assert dts.size >= opt.nsteps
+            self.cust_dt = dts[:opt.nsteps]
+            self.t_final = float(self.cust_dt.sum())
+            self.nsteps = opt.nsteps
+        else:
+            self.cust_dt = None
+            self.t_final = opt.t_final
+            self.nsteps = int(np.ceil(opt.t_final / opt.dt_min))
+        self.dt_auto_cur = opt.dt  # auto stepping state
+
+        # ---- BC epochs ----
+        self.bc_steps = {s: resolve_step_bcs(opt, fes, s)
+                         for s in opt.updateStep}
+        self.update_steps = set(opt.updateStep)
+        self.cur_bcs = self.bc_steps[1]
+
+        self.step_times = []
+
+    # -- UpdateVelocity (system_driver.cpp:327-427) -------------------------
+    def update_velocity(self):
+        bcs = self.cur_bcs
+        v = np.asarray(self.v).copy()
+        if bcs.has_vel:
+            v[bcs.vel_nodes] = bcs.vel_values
+        if bcs.has_vgrad:
+            x = np.asarray(self.x_cur)
+            if self.opt.vgrad_origin_flag:
+                origin = np.asarray(self.opt.vgrad_origin)
+            else:
+                origin = x.min(axis=0)
+            v_full = (x - origin) @ bcs.vgrad.T
+            mask = bcs.vgrad_mask
+            v[mask] = v_full[mask]
+        self.v = jnp.asarray(v)
+
+    # -- one time step -------------------------------------------------------
+    def advance(self, ti, dt, verbose=True):
+        opt = self.opt
+        sysm = self.system
+
+        # BC-change corrector; the reference runs this at step 1 as well
+        # (update_steps always contains 1, mechanics_driver.cpp:866-878)
+        if ti in self.update_steps:
+            if verbose and ti != 1:
+                print(f"Changing boundary conditions this step: {ti}")
+            v_prev = self.v
+            self.cur_bcs = self.bc_steps[ti]
+            self.update_velocity()
+            self.v = sysm.solve_init(v_prev, self.v, self.x_beg, self.state,
+                                     dt, self.cur_bcs.ess_mask)
+
+        self.update_velocity()
+
+        if opt.dt_auto:
+            dt_old = dt
+            v_save = self.v
+            attempts = 0
+            while True:
+                v, stress, state_end, conv, nit, fnorm = sysm.newton_solve(
+                    self.v, self.x_beg, self.state, dt,
+                    self.cur_bcs.ess_mask, verbose)
+                if conv or attempts >= 2:
+                    break
+                print("WARNING: Solution did not converge; decreasing dt")
+                self.v = v_save
+                dt = max(dt * opt.dt_scale, opt.dt_min)
+                attempts += 1
+            if not conv:
+                raise RuntimeError("Newton Solver did not converge.")
+            # grow dt for the next step (system_driver.cpp:264-274)
+            niter_scale = opt.newton_iter * opt.dt_scale
+            factor = niter_scale / max(nit, 1)
+            self.dt_auto_cur = max(dt * factor, opt.dt_min)
+            self._append_file(opt.dt_file, f"{dt:.12g}\n")
+        else:
+            v, stress, state_end, conv, nit, fnorm = sysm.newton_solve(
+                self.v, self.x_beg, self.state, dt, self.cur_bcs.ess_mask,
+                verbose)
+            if not conv:
+                raise RuntimeError("Newton Solver did not converge.")
+
+        self.v = v
+        self.x_cur = self.x_beg + dt * v
+        # UpdateModel: swap begin <- end (system_driver.cpp:429-443)
+        self.stress = stress
+        self.state = state_end
+        self.x_beg = self.x_cur
+        return dt
+
+    # -- outputs -------------------------------------------------------------
+    def _append_file(self, name, text):
+        path = os.path.join(self.workdir, name)
+        with open(path, "a") as f:
+            f.write(text)
+
+    def write_averages(self):
+        opt = self.opt
+        sysm = self.system
+        el_x = sysm.fes.gather(self.x_cur)
+        avg_stress = np.asarray(sysm._vol_avg(self.stress, el_x, True))
+        self._append_file(opt.avg_stress_fname,
+                          " ".join(f"{v:.6g}" for v in avg_stress) + "\n")
+        if opt.additional_avgs:
+            nsv = self.state.shape[-1]
+            if opt.mech_type == MechType.EXACMECH:
+                off, _ = self.model.qf_mapping["pl_work"]
+                plw = np.asarray(sysm._vol_avg(
+                    self.state[:, :, off:off + 1], el_x, False))
+                self._append_file(opt.avg_pl_work_fname, f"{plw[0]:.6g}\n")
+            # average deformation gradient F = d x_cur / d X  (column-major
+            # 9-vector layout, mechanics_operator.cpp:393-427)
+            el_X = sysm.fes.gather(self.x_ref)
+            Jref = jacobians(el_X, sysm.dshape)
+            F = grad_calc(el_x, sysm.dshape, Jref)
+            Fcols = jnp.stack([F[..., i, j] for j in range(3)
+                               for i in range(3)], axis=-1)
+            wts_ref = ops.quad_point_volumes(el_X, sysm.dshape, sysm.qwts)
+            favg = np.asarray(jnp.einsum("eq,eqk->k", wts_ref, Fcols)
+                              / jnp.sum(wts_ref))
+            self._append_file(opt.avg_def_grad_fname,
+                              " ".join(f"{v:.6g}" for v in favg) + "\n")
+            if opt.mech_type == MechType.EXACMECH:
+                ne, nq = self.state.shape[0], self.state.shape[1]
+                dp = self.model.dp_mat(self.state.reshape(ne * nq, nsv))
+                dp = dp.reshape(ne, nq, 3, 3)
+                dpavg9 = np.asarray(sysm._vol_avg(
+                    jnp.stack([dp[..., i, j] for j in range(3)
+                               for i in range(3)], axis=-1), el_x, True))
+                # (0,4,8,5,2,1) col-major -> svec (system_driver.cpp:537-543)
+                dp6 = dpavg9[[0, 4, 8, 5, 2, 1]]
+                self._append_file(opt.avg_dp_tensor_fname,
+                                  " ".join(f"{v:.6g}" for v in dp6) + "\n")
+
+    # -- main loop (mechanics_driver.cpp:837-968) ----------------------------
+    def run(self, verbose=True):
+        t = 0.0
+        ti = 1
+        while ti <= self.nsteps or (self.opt.dt_auto and
+                                    t < self.t_final - 1e-14):
+            if self.cust_dt is not None:
+                dt = float(self.cust_dt[ti - 1])
+            elif self.opt.dt_auto:
+                dt = min(self.dt_auto_cur, self.t_final - t)
+            else:
+                dt = min(self.opt.dt, self.t_final - t)
+            if verbose:
+                print(f"step {ti}, dt = {dt:.6g}")
+            t0 = time.time()
+            dt_used = self.advance(ti, dt, verbose)
+            self.step_times.append(time.time() - t0)
+            t += dt_used
+            last = abs(t - self.t_final) <= abs(1e-3 * dt_used)
+            self.write_averages()
+            if verbose:
+                print(f"step {ti} done, t = {t:.6g} "
+                      f"({self.step_times[-1]:.2f}s)")
+            if last:
+                break
+            ti += 1
+        return t
+
+
+def _euler_to_quat(euler):
+    """Bunge ZXZ Euler angles (radians) -> quaternions."""
+    phi1, Phi, phi2 = euler[:, 0], euler[:, 1], euler[:, 2]
+    s, c = np.sin(Phi / 2), np.cos(Phi / 2)
+    sig, dlt = (phi1 + phi2) / 2, (phi1 - phi2) / 2
+    q = np.stack([c * np.cos(sig), s * np.cos(dlt), s * np.sin(dlt),
+                  c * np.sin(sig)], axis=1)
+    neg = q[:, 0] < 0
+    q[neg] *= -1
+    return q
+
+
+def run_simulation(toml_path: str, workdir: str | None = None,
+                   verbose: bool = True):
+    opt = parse_options(toml_path)
+    sim = Simulation(opt, workdir=workdir)
+    sim.run(verbose=verbose)
+    return sim

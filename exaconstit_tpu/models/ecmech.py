@@ -1,0 +1,215 @@
+"""ExaCMech-equivalent material model: state layout, setup, postprocess.
+
+Re-implements the contract of ExaCMechModel::ModelSetup
+(src/mechanics_ecmech.cpp:192-258) as pure batched functions:
+
+  velocity gradient at points
+    -> kernel_setup     (deviatoric rate vecd, spin wvec, volume ratios;
+                         src/mechanics_ecmech.cpp:22-100)
+    -> evptn solve      (models/evptn.py; ExaCMech getResponseECM)
+    -> postprocess      (stress svec, plastic-work accumulation, state
+                         packing; src/mechanics_ecmech.cpp:106-172)
+
+State-variable layout per point matches the ExaCMech history ordering
+(src/mechanics_ecmech.hpp:136-216):
+
+  [0] shrateEff  [1] shrEff  [2] pl_work(flow-strength slot)  [3] nFEval
+  [4:9] dev elastic strain (vecd, lattice frame)
+  [9:13] lattice orientation quaternion
+  [13:13+nH] hardness
+  [...:+nslip] slip-system shearing rates gdot
+  [+1] relative volume     [+ne] internal energy
+
+so the reference's qf_mapping names (quats, gdot, hardness, ...) resolve
+to the same offsets and the driver's orientation insertion location
+(ori_state_var_loc = 9) is honored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.options import ExaOptions, SlipType, XtalType
+from ..utils import tensors as tn
+from . import elasticity, kinetics, slip_geom
+from .eos import EosConst
+from .evptn import EvptnModel, batched_update
+
+IDP_TINY_SQRT = 1e-30
+
+
+@dataclasses.dataclass(frozen=True)
+class ECMechModel:
+    evptn: EvptnModel
+    temp_k: float
+    nslip: int
+    n_h: int
+
+    # -- state layout ------------------------------------------------------
+    IND_SHRATE = 0
+    IND_SHREFF = 1
+    IND_PLWORK = 2
+    IND_NFEVAL = 3
+    IND_ESTRAIN = 4
+    IND_QUATS = 9
+    IND_HARD = 13
+
+    @property
+    def ind_gdot(self):
+        return self.IND_HARD + self.n_h
+
+    @property
+    def ind_vols(self):
+        return self.ind_gdot + self.nslip
+
+    @property
+    def ind_int_eng(self):
+        return self.ind_vols + 1
+
+    @property
+    def num_state(self):
+        return self.ind_int_eng + 1
+
+    @property
+    def qf_mapping(self):
+        """name -> (offset, length); mirrors mechanics_ecmech.hpp:186-216."""
+        return {
+            "shrateEff": (self.IND_SHRATE, 1),
+            "shrEff": (self.IND_SHREFF, 1),
+            "pl_work": (self.IND_PLWORK, 1),
+            "quats": (self.IND_QUATS, 4),
+            "gdot": (self.ind_gdot, self.nslip),
+            "hardness": (self.IND_HARD, self.n_h),
+            "int_eng": (self.ind_int_eng, 1),
+            "rel_vol": (self.ind_vols, 1),
+            "elas_strain": (self.IND_ESTRAIN, 5),
+        }
+
+    # -- initialization ----------------------------------------------------
+    def init_state(self, quats: np.ndarray) -> np.ndarray:
+        """Initial state for points with given orientations (npts, 4).
+
+        Mirrors ECMechXtalModel::init_state_vars
+        (src/mechanics_ecmech.hpp:249-300): A-slots zero, elastic strain
+        zero, hardness at its initial value, gdot zero, rel_vol 1,
+        internal energy 0.
+        """
+        npts = quats.shape[0]
+        s = np.zeros((npts, self.num_state))
+        s[:, self.IND_QUATS:self.IND_QUATS + 4] = quats
+        s[:, self.IND_HARD:self.IND_HARD + self.n_h] = \
+            self.evptn.kinetics.init_hardness()
+        s[:, self.ind_vols] = 1.0
+        return s
+
+    # -- the model evaluation ----------------------------------------------
+    def model_setup(self, dt, vgrad, state_beg, compute_tangent=True):
+        """Constitutive update for a flat batch of points.
+
+        vgrad: (npts, 3, 3) velocity gradient L_ij = dv_i/dx_j
+        state_beg: (npts, num_state)
+        Returns (stress_svec (npts, 6), state_end, tangent (npts, 6, 6)).
+        """
+        d = 0.5 * (vgrad + jnp.swapaxes(vgrad, -1, -2))
+        tr_d = jnp.trace(d, axis1=-2, axis2=-1)
+        d_vecd = tn.mat_to_vecd(d)
+        w_vec = tn.mat_to_wvec(vgrad)
+
+        v0 = state_beg[:, self.ind_vols]
+        v1 = v0 * jnp.exp(tr_d * dt)
+        e_int = state_beg[:, self.ind_int_eng]
+        e_n = state_beg[:, self.IND_ESTRAIN:self.IND_ESTRAIN + 5]
+        q_n = state_beg[:, self.IND_QUATS:self.IND_QUATS + 4]
+        h_n = state_beg[:, self.IND_HARD:self.IND_HARD + self.n_h]
+
+        out = batched_update(self.evptn, dt, d_vecd, w_vec, v0, v1, e_int,
+                             e_n, q_n, h_n, self.temp_k,
+                             compute_tangent=compute_tangent)
+
+        # stress: sample-frame Cauchy deviator + mean
+        s_dev = tn.vecd_to_svec(out["s_vecd_sm"])
+        mean = -out["pressure"]
+        stress = s_dev + mean[:, None] * jnp.asarray(
+            [1.0, 1, 1, 0, 0, 0], dtype=s_dev.dtype)
+
+        # state packing (postprocess contract,
+        # src/mechanics_ecmech.cpp:116-152)
+        deff = tn.vecd_deff(d_vecd)
+        plw_beg = state_beg[:, self.IND_PLWORK]
+        plw_inc = jnp.where(deff > IDP_TINY_SQRT,
+                            out["flow_str"] * deff * dt, 0.0)
+        state_end = jnp.concatenate(
+            [
+                out["shrate_eff"][:, None],
+                (state_beg[:, self.IND_SHREFF]
+                 + out["shrate_eff"] * dt)[:, None],
+                (plw_beg + plw_inc)[:, None],
+                out["iters"].astype(stress.dtype)[:, None],
+                out["e_end"],
+                out["q_end"],
+                out["h_end"],
+                out["gdots"],
+                v1[:, None],
+                out["e_int"][:, None],
+            ],
+            axis=1,
+        )
+        tangent = out.get("tangent")
+        return stress, state_end, tangent
+
+    def dp_mat(self, state):
+        """Sample-frame plastic deformation-rate tensor (npts, 3, 3).
+
+        Mirrors ECMechXtalModel::calcDpMat (src/mechanics_ecmech.hpp:303-357).
+        """
+        gd = state[:, self.ind_gdot:self.ind_gdot + self.nslip]
+        q = state[:, self.IND_QUATS:self.IND_QUATS + 4]
+        P = jnp.asarray(self.evptn.slip.P)
+        dp_lat = gd @ P  # (npts, 5)
+        r = tn.quat_to_rmat(q)
+        dp_sm = tn.rotate_vecd(r, dp_lat)
+        return tn.vecd_to_mat(dp_sm)
+
+
+def build_model(opt: ExaOptions, props: np.ndarray) -> ECMechModel:
+    """Model factory from options + property vector.
+
+    Mirrors the reference factory switch in
+    NonlinearMechOperator (src/mechanics_operator.cpp:49-210).
+    """
+    props = np.asarray(props, dtype=float)
+    rho0, cvav, tol = props[0], props[1], props[2]
+
+    if opt.xtal_type in (XtalType.FCC, XtalType.BCC):
+        c11, c12, c44 = props[3], props[4], props[5]
+        elast = elasticity.cubic(c11, c12, c44)
+        n_elast = 3
+    elif opt.xtal_type == XtalType.HCP:
+        c11, c12, c13, c33, c44 = props[3:8]
+        elast = elasticity.hexagonal(c11, c12, c13, c33, c44)
+        n_elast = 5
+    else:
+        raise ValueError("unsupported xtal type")
+
+    if opt.slip_type == SlipType.POWERVOCE:
+        kin = kinetics.VocePL.from_props(props, nonlinear=False)
+    elif opt.slip_type == SlipType.POWERVOCENL:
+        kin = kinetics.VocePL.from_props(props, nonlinear=True)
+    elif opt.slip_type == SlipType.MTSDD:
+        kin = kinetics.KMBalD.from_props(props, n_elastic=n_elast)
+    else:
+        raise ValueError("unsupported slip type")
+
+    slip = slip_geom.get_slip_geom(opt.xtal_type.value)
+    gruneisen, e_ref = props[-2], props[-1]
+    eos = EosConst(bulk=elast.bulk, gruneisen=gruneisen, rho0=rho0, e0=e_ref)
+
+    evptn = EvptnModel(slip=slip, elast=elast, kinetics=kin, eos=eos,
+                       solver_tol=max(float(tol), 1e-14))
+    return ECMechModel(evptn=evptn, temp_k=opt.temp_k, nslip=slip.nslip,
+                       n_h=kin.n_h)

@@ -1,0 +1,221 @@
+"""Slip kinetics and hardening laws.
+
+Equivalents of ExaCMech's kinetics classes (referenced from
+src/mechanics_ecmech.hpp:365-463):
+
+* ``VocePL``   — power-law slip + Voce hardening (Kin_FCC_A), optionally
+  with a nonlinear Voce exponent (Kin_FCC_AH).  Parameter order follows
+  the documented props layout (mechanics_ecmech.hpp:395-405):
+  shear modulus, rate sensitivity m, gdot_0, hardening coeff h0,
+  initial CRSS g0, CRSS saturation gs0, saturation scaling exponent xms,
+  saturation rate coeff gam_s, hdn_init (unused); the NL variant inserts
+  the Voce exponent after gs0.
+* ``KMBalD``   — single Kocks-Mecking dislocation-density, balanced
+  thermally-activated MTS-like slip with phonon drag
+  (mechanics_ecmech.hpp:416-459).
+
+All rate functions are smooth jnp expressions so the per-point implicit
+solver can differentiate them with JAX AD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+_TINY = 1e-280
+_MAX_LOG_GDOT = 80.0  # exp cap keeps ||R||^2 finite during globalization
+
+
+@dataclasses.dataclass(frozen=True)
+class VocePL:
+    mu: float
+    xm: float
+    gdot0: float
+    h0: float
+    g0: float
+    gs0: float
+    xms: float
+    gam_s: float
+    hdn_init: float
+    voce_exponent: float = 1.0  # 1 -> linear Voce (Kin_FCC_A)
+    # Evolution form: "sat_ratio" -> h0*((gs-h)/(gs-g0))^n * Gamma_dot
+    #                 "one_minus" -> h0*(1-h/gs)^n * Gamma_dot
+    form: str = "sat_ratio"
+
+    n_h = 1
+
+    @classmethod
+    def from_props(cls, props, nonlinear: bool):
+        # props = full parameter vector; kinetics block starts at index 6
+        # (after rho0, cvav, tol, c11, c12, c44)
+        p = np.asarray(props, dtype=float)
+        if nonlinear:
+            (mu, xm, gdot0, h0, g0, gs0, expo, xms, gam_s, hdn) = p[6:16]
+        else:
+            (mu, xm, gdot0, h0, g0, gs0, xms, gam_s, hdn) = p[6:15]
+            expo = 1.0
+        return cls(mu=mu, xm=xm, gdot0=gdot0, h0=h0, g0=g0, gs0=gs0,
+                   xms=xms, gam_s=gam_s, hdn_init=hdn, voce_exponent=expo)
+
+    def init_hardness(self):
+        return np.array([self.g0])
+
+    def gdots(self, taus, h, temp_k):
+        """Power-law slip rates; h: (..., 1) hardness (CRSS).
+
+        NaN-safe under jacfwd: double-where for the tiny-ratio branch, and a
+        linear continuation above the exp cap so the Jacobian never goes
+        identically flat during trust-region globalization.
+        """
+        del temp_k
+        g = h[..., 0:1]
+        xn = 1.0 / self.xm
+        ratio = jnp.abs(taus) / g
+        big = ratio > 1e-10
+        ratio_safe = jnp.where(big, ratio, 1.0)
+        log_gdot = xn * jnp.log(ratio_safe)
+        capped = jnp.minimum(log_gdot, _MAX_LOG_GDOT)
+        over = jnp.maximum(log_gdot - _MAX_LOG_GDOT, 0.0)
+        gd = jnp.where(big, self.gdot0 * jnp.exp(capped) * (1.0 + over), 0.0)
+        return jnp.sign(taus) * gd
+
+    def _gsat(self, shrate_sum):
+        if self.xms == 0.0:
+            return jnp.full_like(shrate_sum, self.gs0)
+        arg = jnp.maximum(shrate_sum, _TINY) / self.gam_s
+        return self.gs0 * jnp.power(arg, self.xms)
+
+    def _hdot(self, h, gs):
+        if self.form == "sat_ratio":
+            x = (gs - h) / (gs - self.g0)
+        else:
+            x = 1.0 - h / gs
+        x = jnp.maximum(x, 0.0)
+        n = self.voce_exponent
+        xn = x if n == 1.0 else jnp.power(jnp.maximum(x, _TINY), n)
+        return self.h0 * xn
+
+    def update_h(self, h_n, gdots, dt, temp_k):
+        """Implicit (backward-Euler) hardness update given converged gdots.
+
+        For the linear Voce form this is solved in closed form; the
+        nonlinear form uses a fixed-iteration scalar Newton.
+        """
+        del temp_k
+        shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
+        gs = self._gsat(shrate)
+        dgam = shrate * dt
+        if self.voce_exponent == 1.0:
+            if self.form == "sat_ratio":
+                a = self.h0 / (gs - self.g0)
+            else:
+                a = self.h0 / gs
+            # h' = a (gs - h) dgam  ->  backward Euler closed form
+            return (h_n + a * gs * dgam) / (1.0 + a * dgam)
+        h = h_n
+        for _ in range(20):
+            r = h - h_n - self._hdot(h, gs) * dgam
+            if self.form == "sat_ratio":
+                x = jnp.maximum((gs - h) / (gs - self.g0), _TINY)
+                drdh = 1.0 + dgam * self.h0 * self.voce_exponent * \
+                    jnp.power(x, self.voce_exponent - 1.0) / (gs - self.g0)
+            else:
+                x = jnp.maximum(1.0 - h / gs, _TINY)
+                drdh = 1.0 + dgam * self.h0 * self.voce_exponent * \
+                    jnp.power(x, self.voce_exponent - 1.0) / gs
+            h = h - r / drdh
+        return h
+
+
+@dataclasses.dataclass(frozen=True)
+class KMBalD:
+    """Kocks-Mecking dislocation-density MTS-like kinetics w/ phonon drag.
+
+    Parameter order (mechanics_ecmech.hpp:444-458): mu_ref, tK_ref,
+    c_1 = g_0 b^3/kB [K/stress], tau_a (Peierls), p, q, gam_wo, gam_ro,
+    wrD (drag stress), go, s, k1, k2_0, ninv, gam_ro_dd, rho_dd_init.
+    """
+
+    mu_ref: float
+    tk_ref: float
+    c1: float
+    tau_a: float
+    p: float
+    q: float
+    gam_wo: float
+    gam_ro: float
+    wr_d: float
+    go: float
+    s: float
+    k1: float
+    k2_0: float
+    ninv: float
+    gam_ro_dd: float
+    rho_dd_init: float
+
+    n_h = 1
+
+    @classmethod
+    def from_props(cls, props, n_elastic: int = 3):
+        p = np.asarray(props, dtype=float)
+        k = 3 + n_elastic  # rho0, cvav, tol + elastic constants
+        vals = p[k:k + 16]
+        return cls(*[float(v) for v in vals])
+
+    def init_hardness(self):
+        return np.array([self.rho_dd_init])
+
+    def _strength(self, h):
+        """Slip-system strength from relative dislocation density."""
+        rho = jnp.maximum(h[..., 0:1], _TINY)
+        return self.go + self.s * jnp.sqrt(rho)
+
+    def gdots(self, taus, h, temp_k):
+        g = self._strength(h)
+        tau_eff = jnp.maximum(jnp.abs(taus) - self.tau_a, 0.0)
+        x = jnp.clip(tau_eff / g, 0.0, 1.0)
+        # thermally-activated branch: gam_wo * exp(-(c1 mu / T)(1 - x^p)^q)
+        c_t = self.c1 * self.mu_ref / temp_k
+        if self.p == 1.0:
+            xp = x
+        else:  # NaN-safe power at x = 0
+            pos = x > 1e-12
+            xp = jnp.where(pos, jnp.power(jnp.where(pos, x, 1.0), self.p), 0.0)
+        act = jnp.maximum(1.0 - xp, 0.0)
+        if self.q == 1.0:
+            actq = act
+        else:
+            pos = act > 1e-12
+            actq = jnp.where(pos,
+                             jnp.power(jnp.where(pos, act, 1.0), self.q), 0.0)
+        # balanced combination gd = gw*gr/(gw+gr), evaluated in log space so
+        # the huge dynamic range (gw ~ exp(-300)) stays NaN-free under AD
+        log_gw = jnp.log(self.gam_wo) - c_t * actq
+        log_gr = jnp.log(self.gam_ro / self.wr_d) + \
+            jnp.log(jnp.maximum(tau_eff, _TINY))
+        log_gd = log_gw + log_gr - jnp.logaddexp(log_gw, log_gr)
+        gd = jnp.where(tau_eff > 1e-30,
+                       jnp.exp(jnp.maximum(log_gd, -700.0)), 0.0)
+        return jnp.sign(taus) * gd
+
+    def update_h(self, h_n, gdots, dt, temp_k):
+        """Implicit Kocks-Mecking density update.
+
+        drho/dGamma = k1 sqrt(rho) - k2(Gamma_dot) rho,
+        k2 = k2_0 (gam_ro_dd / Gamma_dot)^ninv.
+        """
+        del temp_k
+        shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
+        dgam = shrate * dt
+        k2 = self.k2_0 * jnp.power(
+            self.gam_ro_dd / jnp.maximum(shrate, _TINY), self.ninv)
+        rho = jnp.maximum(h_n, _TINY)
+        for _ in range(20):
+            sq = jnp.sqrt(jnp.maximum(rho, _TINY))
+            r = rho - h_n - (self.k1 * sq - k2 * rho) * dgam
+            drdrho = 1.0 - (0.5 * self.k1 / sq - k2) * dgam
+            rho = jnp.maximum(rho - r / drdrho, _TINY)
+        return rho

@@ -195,15 +195,15 @@ def quat_multiply(a, b):
 def expmap_to_quat(xi):
     """Unit quaternion of the rotation exp([xi]_x), |xi| = angle.
 
-    Taylor-safe near zero so it is differentiable at xi = 0.
+    Uses the double-where pattern so both the value AND the derivative are
+    finite at xi = 0 (a bare sqrt/|xi| would propagate NaN through jacfwd).
     """
     ang2 = jnp.sum(xi * xi, axis=-1)
-    ang = jnp.sqrt(ang2 + 1e-300)
-    half = 0.5 * ang
-    # sin(x/2)/x, stable at 0
-    small = ang < 1e-8
-    sinc_half = jnp.where(small, 0.5 - ang2 / 48.0, jnp.sin(half) / ang)
-    q0 = jnp.cos(half)
+    big = ang2 > 1e-24
+    ang2_safe = jnp.where(big, ang2, 1.0)
+    ang = jnp.sqrt(ang2_safe)
+    q0 = jnp.where(big, jnp.cos(0.5 * ang), 1.0 - ang2 / 8.0)
+    sinc_half = jnp.where(big, jnp.sin(0.5 * ang) / ang, 0.5 - ang2 / 48.0)
     qv = xi * sinc_half[..., None]
     return jnp.concatenate([q0[..., None], qv], axis=-1)
 

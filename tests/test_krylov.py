@@ -1,0 +1,64 @@
+"""Krylov solver tests against dense reference solutions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exaconstit_tpu.solvers.krylov import gmres, minres, pcg
+
+
+def make_spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n))
+    A = A @ A.T + n * np.eye(n)
+    b = rng.normal(size=n)
+    return jnp.asarray(A), jnp.asarray(b)
+
+
+@pytest.mark.parametrize("solver", [pcg, minres, gmres])
+def test_solvers_spd(solver):
+    A, b = make_spd(64)
+    matvec = lambda v: A @ v
+    dinv = 1.0 / jnp.diag(A)
+    precond = lambda v: dinv * v
+    x, it, done = jax.jit(
+        lambda b: solver(matvec, precond, b, 1e-12, 1e-30, 500))(b)
+    assert bool(done)
+    xref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), xref, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("solver", [minres, gmres])
+def test_solvers_symmetric_indefinite(solver):
+    rng = np.random.default_rng(3)
+    Q, _ = np.linalg.qr(rng.normal(size=(48, 48)))
+    lam = np.concatenate([np.linspace(1, 10, 40), -np.linspace(1, 3, 8)])
+    A = jnp.asarray(Q @ np.diag(lam) @ Q.T)
+    b = jnp.asarray(rng.normal(size=48))
+    matvec = lambda v: A @ v
+    precond = lambda v: v
+    x, it, done = jax.jit(
+        lambda b: solver(matvec, precond, b, 1e-12, 1e-30, 600))(b)
+    assert bool(done)
+    xref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), xref, rtol=1e-7, atol=1e-9)
+
+
+def test_gmres_nonsymmetric():
+    rng = np.random.default_rng(4)
+    A = jnp.asarray(rng.normal(size=(40, 40)) + 8 * np.eye(40))
+    b = jnp.asarray(rng.normal(size=40))
+    x, it, done = jax.jit(lambda b: gmres(
+        lambda v: A @ v, lambda v: v, b, 1e-13, 1e-30, 400, restart=20))(b)
+    assert bool(done)
+    xref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), xref, rtol=1e-8, atol=1e-10)
+
+
+def test_pcg_early_exit_zero_rhs():
+    A, _ = make_spd(16)
+    b = jnp.zeros(16)
+    x, it, done = pcg(lambda v: A @ v, lambda v: v, b, 1e-10, 1e-30, 100)
+    assert bool(done) and int(it) == 0
+    np.testing.assert_allclose(np.asarray(x), 0.0)

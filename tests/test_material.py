@@ -1,0 +1,198 @@
+"""Material-layer tests: slip geometry, elasticity, evptn point solve.
+
+Analogous in role to the reference's single-point validation of ExaCMech
+(SURVEY.md section 7 phase 2): elastic limits, consistent tangent, yield
+level from power-law kinetics, Voce hardening evolution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exaconstit_tpu.config.options import parse_options
+from exaconstit_tpu.models import slip_geom
+from exaconstit_tpu.models.ecmech import build_model
+
+VOCE_TOML = "/root/reference/test/data/voce_full.toml"
+
+
+@pytest.fixture(scope="module")
+def voce_model():
+    opt = parse_options(VOCE_TOML)
+    props = np.loadtxt(opt.abspath(opt.props_file))
+    return build_model(opt, props), props
+
+
+def test_slip_geometry():
+    for geom, n in [(slip_geom.fcc12(), 12), (slip_geom.bcc12(), 12),
+                    (slip_geom.hcp24(), 24)]:
+        assert geom.nslip == n
+        # Schmid tensors are deviatoric unit-ish: |P|^2 = 1/2 for unit m,n
+        norms = np.sum(geom.P ** 2, axis=1)
+        np.testing.assert_allclose(norms, 0.5, atol=1e-12)
+        # skew part: |Q|^2 = 1/4 (wvec of skew(m x n))
+        qn = np.sum(geom.Q ** 2, axis=1)
+        np.testing.assert_allclose(qn, 0.25, atol=1e-12)
+
+
+def test_elastic_response_and_tangent(voce_model):
+    model, props = voce_model
+    c11, c12, c44 = props[3], props[4], props[5]
+    K = (c11 + 2 * c12) / 3.0
+    N = 4
+    state = jnp.asarray(model.init_state(np.tile([[1.0, 0, 0, 0]], (N, 1))))
+    L = jnp.asarray(np.tile(np.diag([0.0, 0.0, 1e-3]), (N, 1, 1)))
+    stress, st, tg = model.model_setup(0.005, L, state)
+    eps = 5e-6
+    np.testing.assert_allclose(np.asarray(stress[0, 0]), c12 * eps, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(stress[0, 2]), c11 * eps, rtol=1e-4)
+    np.testing.assert_allclose(float(stress[0, :3].mean()), K * eps,
+                               rtol=1e-4)
+    # consistent tangent at an elastic point = cubic stiffness (eng shear)
+    expect = np.zeros((6, 6))
+    expect[:3, :3] = c12
+    np.fill_diagonal(expect[:3, :3], c11)
+    expect[3, 3] = expect[4, 4] = expect[5, 5] = c44
+    np.testing.assert_allclose(np.asarray(tg[0]), expect, atol=5e-3)
+
+
+def test_elastic_rotated_orientation(voce_model):
+    """Cubic elasticity transforms correctly for a rotated grain."""
+    model, props = voce_model
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    N = 4
+    state = jnp.asarray(model.init_state(np.tile(q, (N, 1))))
+    L = jnp.asarray(np.tile(np.diag([0.0, 0.0, 1e-3]), (N, 1, 1)))
+    stress, _, tg = model.model_setup(0.001, L, state)
+    # analytic: rotate strain to crystal frame, apply cubic C, rotate back
+    from exaconstit_tpu.utils import tensors as tn
+    R = np.asarray(tn.quat_to_rmat(jnp.asarray(q)))
+    eps = np.diag([0.0, 0.0, 1e-6])
+    eps_c = R.T @ eps @ R
+    c11, c12, c44 = props[3], props[4], props[5]
+    sig_c = np.zeros((3, 3))
+    for i in range(3):
+        sig_c[i, i] = c11 * eps_c[i, i] + c12 * (np.trace(eps_c) - eps_c[i, i])
+    for i in range(3):
+        for j in range(3):
+            if i != j:
+                sig_c[i, j] = 2 * c44 * eps_c[i, j]
+    sig = R @ sig_c @ R.T
+    got = np.asarray(stress[0])
+    want = np.array([sig[0, 0], sig[1, 1], sig[2, 2], sig[1, 2], sig[0, 2],
+                     sig[0, 1]])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-12)
+
+
+def test_plastic_flow_and_hardening(voce_model):
+    """Drive into fully-developed flow; check the power-law operating point
+    and Voce hardening evolution."""
+    model, props = voce_model
+    xm, gdot0 = props[7], props[8]
+    N = 4
+    state = jnp.asarray(model.init_state(np.tile([[1.0, 0, 0, 0]], (N, 1))))
+    # pure deviatoric uniaxial-rate loading (isochoric)
+    Lm = np.diag([-5e-4, -5e-4, 1e-3])
+    L = jnp.asarray(np.tile(Lm, (N, 1, 1)))
+    setup = jax.jit(lambda dt, d, s: model.model_setup(dt, d, s,
+                                                       compute_tangent=False))
+    st = state
+    for _ in range(30):
+        stress, st, _ = setup(0.1, L, st)
+    st = np.asarray(st)
+    g = st[0, 13]
+    taus_ratio_max = np.abs(
+        np.asarray(model.evptn.slip.P @ model.evptn.elast.stress_vecd(
+            jnp.asarray(st[0, 4:9])))).max() / g
+    # fully-developed flow: max resolved stress ratio ~ (gdot_ss/gdot0)^xm,
+    # gdot_ss within a factor ~10 of the applied rate
+    lo = (1e-5 / gdot0) ** xm
+    hi = (1e-2 / gdot0) ** xm
+    assert lo < taus_ratio_max < hi, taus_ratio_max
+    # hardness grew from g0 toward gs0
+    assert props[10] < g < props[11]
+    # plastic work and effective shear accumulated, volume ~ constant
+    assert st[0, 2] > 0.0
+    assert st[0, 1] > 0.0
+    np.testing.assert_allclose(st[0, 26], 1.0, atol=1e-12)
+    # stress stays finite and deviatorically bounded by ~ M * gs
+    assert np.abs(stress[0]).max() < 0.5
+
+
+def test_consistent_tangent_fd(voce_model):
+    """IFT tangent vs central finite differences of the full point update.
+
+    The loading-direction entry includes frozen-hardness error by
+    construction (matching practice for consistent CP tangents), so it gets
+    a loose bound; other entries must match tightly.
+    """
+    model, _ = voce_model
+    N = 4
+    state = jnp.asarray(model.init_state(np.tile([[1.0, 0, 0, 0]], (N, 1))))
+    Lm = np.diag([-5e-4, -5e-4, 1e-3])
+    L = jnp.asarray(np.tile(Lm, (N, 1, 1)))
+    setup = jax.jit(lambda dt, d, s, t: model.model_setup(
+        dt, d, s, compute_tangent=t), static_argnums=3)
+    st = state
+    for _ in range(15):
+        stress, st, _ = setup(0.1, L, st, False)
+    _, _, tg = setup(0.1, L, st, True)
+    tg = np.asarray(tg[0])
+    # symmetric
+    np.testing.assert_allclose(tg, tg.T, atol=1e-8)
+    dt = 0.1
+    fd = np.zeros((6, 6))
+    eps = 1e-9
+    # columns: perturb strain increments via L entries (eng shear pairs)
+    pert = [(0, 0), (1, 1), (2, 2), (1, 2), (0, 2), (0, 1)]
+    for c, (i, j) in enumerate(pert):
+        dL = np.zeros((3, 3))
+        if i == j:
+            dL[i, j] = eps / dt
+        else:  # engineering shear split symmetrically
+            dL[i, j] = dL[j, i] = 0.5 * eps / dt
+        sp, _, _ = setup(dt, jnp.asarray(np.tile(Lm + dL, (N, 1, 1))), st,
+                         False)
+        sm, _, _ = setup(dt, jnp.asarray(np.tile(Lm - dL, (N, 1, 1))), st,
+                         False)
+        fd[:, c] = (np.asarray(sp[0]) - np.asarray(sm[0])) / (2 * eps)
+    scale = np.abs(fd).max()
+    err = np.abs(tg - fd) / scale
+    # off-loading entries tight; loading-direction hardness coupling loose
+    assert err[3:, :].max() < 5e-3, err
+    assert err[:, 3:].max() < 5e-3, err
+    assert err.max() < 0.35, err
+
+
+def test_mtsdd_smoke():
+    opt = parse_options("/root/reference/test/data/mtsdd_full.toml")
+    props = np.loadtxt(opt.abspath(opt.props_file))
+    model = build_model(opt, props)
+    assert model.num_state == 28
+    N = 4
+    state = jnp.asarray(model.init_state(np.tile([[1.0, 0, 0, 0]], (N, 1))))
+    L = jnp.asarray(np.tile(np.diag([-5e-4, -5e-4, 1e-3]), (N, 1, 1)))
+    st = state
+    setup = jax.jit(lambda dt, d, s: model.model_setup(dt, d, s,
+                                                       compute_tangent=False))
+    for _ in range(10):
+        stress, st, _ = setup(0.1, L, st)
+    assert np.isfinite(np.asarray(stress)).all()
+    assert np.isfinite(np.asarray(st)).all()
+    # some plastic activity and dd evolution
+    assert float(jnp.abs(st[:, 14:26]).sum()) > 0.0
+
+
+def test_state_layout_matches_reference_convention(voce_model):
+    model, _ = voce_model
+    m = model.qf_mapping
+    assert m["quats"] == (9, 4)
+    assert m["gdot"] == (14, 12)
+    assert m["hardness"] == (13, 1)
+    assert m["rel_vol"] == (26, 1)
+    assert m["int_eng"] == (27, 1)
+    assert m["elas_strain"] == (4, 5)
+    assert model.num_state == 28
