@@ -224,11 +224,21 @@ class MechSystem:
 
         self._vol_avg = jax.jit(vol_avg, static_argnums=(2,))
 
-    # -- Newton solve (host loop; ExaNewtonSolver::Mult semantics) ---------
+    # -- Newton solve (host loop) -------------------------------------------
     def newton_solve(self, v, x_beg, state, dt, ess_mask, verbose=True):
+        """Newton-Krylov with quadratic line-search safeguarding.
+
+        Semantics: NR follows the reference's plain Newton
+        (ExaNewtonSolver::Mult) but falls back to the 3-point quadratic
+        line search of ExaNewtonLSSolver (mechanics_solver.cpp:219-257)
+        whenever a full step fails to halve the residual — the crystal
+        power-law makes the elastic-plastic transition nearly
+        rate-independent, and plain full/half stepping stagnates there.
+        The converged solution is identical either way.  NRLS always
+        line-searches (the reference's behavior).
+        """
         opt = self.opt
         ess_flat = jnp.asarray(ess_mask.reshape(-1))
-        scale = 1.0
         r, k_data, diag, stress, state_end = self._setup(
             v, x_beg, state, dt, ess_flat, True)
         norm = float(jnp.linalg.norm(r))
@@ -236,6 +246,7 @@ class MechSystem:
         norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
         it = 0
         converged = False
+        always_ls = opt.nl_solver == NLSolver.NRLS
         while True:
             if not np.isfinite(norm):
                 break
@@ -248,36 +259,43 @@ class MechSystem:
             if it >= opt.newton_iter:
                 break
             c, kit, kdone = self._krylov(k_data, diag, r, ess_flat)
+            c = c.reshape(-1, 3)
+            q1 = norm
 
-            if opt.nl_solver == NLSolver.NRLS:
-                # 3-point quadratic line search
-                # (ExaNewtonLSSolver::Mult, mechanics_solver.cpp:219-257)
-                q1 = norm
-                r3 = self._residual_only(v - c.reshape(-1, 3), x_beg, state,
-                                         dt, ess_flat)
+            def quad_ls():
+                r3 = self._residual_only(v - c, x_beg, state, dt, ess_flat)
                 q3 = float(jnp.linalg.norm(r3))
-                r2 = self._residual_only(v - 0.5 * c.reshape(-1, 3), x_beg,
-                                         state, dt, ess_flat)
+                r2 = self._residual_only(v - 0.5 * c, x_beg, state, dt,
+                                         ess_flat)
                 q2 = float(jnp.linalg.norm(r2))
                 denom = q1 - 2.0 * q2 + q3
                 eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom) \
                     if denom != 0 else 1.0
                 if denom > 0 and 0 < eps < 1:
-                    scale = eps
-                elif q3 < q1:
-                    scale = 1.0
-                else:
-                    scale = 0.05
+                    return eps
+                if q3 < q1:
+                    return 1.0
+                return 0.05
 
-            v = v - scale * c.reshape(-1, 3)
-            r, k_data, diag, stress, state_end = self._setup(
-                v, x_beg, state, dt, ess_flat, True)
-            norm_prev = norm
+            if always_ls:
+                scale = quad_ls()
+                v_new = v - scale * c
+                out = self._setup(v_new, x_beg, state, dt, ess_flat, True)
+            else:
+                v_new = v - c
+                out = self._setup(v_new, x_beg, state, dt, ess_flat, True)
+                q_full = float(jnp.linalg.norm(out[0]))
+                if not np.isfinite(q_full) or q_full > 0.5 * q1:
+                    scale = quad_ls()
+                    if scale != 1.0:
+                        v_new = v - scale * c
+                        out = self._setup(v_new, x_beg, state, dt, ess_flat,
+                                          True)
+
+            v = v_new
+            r, k_data, diag, stress, state_end = out
             norm = float(jnp.linalg.norm(r))
             it += 1
-            if opt.nl_solver == NLSolver.NR:
-                # relaxation heuristic (mechanics_solver.cpp:128-138)
-                scale = 0.5 if norm / norm_prev > 0.5 else 1.0
 
         return v, stress, state_end, converged, it, norm
 

@@ -71,8 +71,12 @@ class EvptnModel:
     kinetics: object  # VocePL | KMBalD
     eos: EosConst
     solver_tol: float = 1e-10
-    solver_max_iter: int = 100
-    stagger_iters: int = 3  # staggered hardness passes
+    solver_max_iter: int = 200
+    # "coupled": one dogleg over (e, xi, h) — fully-implicit, consistent
+    #            with the IFT tangent (default);
+    # "staggered": ExaCMech-style alternation, stagger_iters passes.
+    hardness_mode: str = "coupled"
+    stagger_iters: int = 3
 
     @property
     def nslip(self):
@@ -107,33 +111,141 @@ def _residual(model: EvptnModel, x, h, dt, d_vecd_sm, w_vec_sm, e_n, q_n,
     return jnp.concatenate([r_e, r_xi])
 
 
-def _solve_point(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
-                 temp_k):
-    """Staggered (e,xi) dogleg solve + implicit hardness update, one point."""
+def _residual_and_jac(model: EvptnModel, x, h, dt, d_vecd_sm, w_vec_sm, e_n,
+                      q_n, temp_k):
+    """Residual and its 8x8 Jacobian with the kinetics block in closed form.
+
+    Only the 3 columns through the rotation chain (d_lat(xi), w_lat(xi))
+    use forward-mode AD; the stiff slip-kinetics derivatives are analytic,
+    which keeps the compiled program small and the hot loop cheap.
+    """
+    e_end = x[:5]
+    xi = x[5:]
+    P = jnp.asarray(model.slip.P)  # (S, 5)
+    Q = jnp.asarray(model.slip.Q)  # (S, 3)
+    C = jnp.asarray(model.elast.C_dev)
+
+    def kinematics(xi):
+        dq = tn.expmap_to_quat(xi)
+        q_end = tn.quat_multiply(q_n, dq)
+        r_end = tn.quat_to_rmat(q_end)
+        d_lat = tn.rotate_vecd(r_end.T, d_vecd_sm)
+        w_lat = r_end.T @ w_vec_sm
+        return jnp.concatenate([d_lat, w_lat])
+
+    kin, dkin_dxi = kinematics(xi), jax.jacfwd(kinematics)(xi)  # (8,), (8,3)
+    d_lat, w_lat = kin[:5], kin[5:]
+
+    s_lat = C @ e_end
+    taus = P @ s_lat
+    gd, dgd_dtau = jax.vmap(
+        lambda t: jax.value_and_grad(
+            lambda tt: model.kinetics.gdots(tt[None], h, temp_k)[0])(
+                t))(taus)
+    dp = gd @ P
+    wp = gd @ Q
+
+    r_e = e_end - e_n + dt * (dp - d_lat)
+    r_xi = xi - dt * (w_lat - wp)
+    r = jnp.concatenate([r_e, r_xi])
+
+    # d(taus)/d(e) = P C ; d(dp)/d(e) = P^T diag(k') P C, etc.
+    PC = P @ C  # (S, 5)
+    kp_PC = dgd_dtau[:, None] * PC  # (S, 5)
+    J_ee = jnp.eye(5, dtype=x.dtype) + dt * (P.T @ kp_PC)
+    J_xe = dt * (Q.T @ kp_PC)
+    J_exi = -dt * dkin_dxi[:5]
+    J_xxi = jnp.eye(3, dtype=x.dtype) - dt * dkin_dxi[5:]
+    J = jnp.block([[J_ee, J_exi], [J_xe, J_xxi]])
+    return r, J
+
+
+def _gdots_of(model, x, h, temp_k):
+    s_lat = model.elast.stress_vecd(x[:5])
+    taus = jnp.asarray(model.slip.P) @ s_lat
+    return model.kinetics.gdots(taus, h, temp_k)
+
+
+def _initial_guess(model: EvptnModel, dt, d_vecd_sm, e_n, q_n, h_n):
+    """Yield-surface-aware predictor for the implicit solve.
+
+    The elastic trial e_n + dt*D_lat can overshoot the power-law flow
+    surface by orders of magnitude in gdot (|tau/g|^(1/m) with m ~ 0.02),
+    which forces the trust-region solver to crawl back.  Scaling the trial
+    so max_s |tau_s|/g sits at the kinetics' operating ratio starts the
+    solve essentially on the flow surface."""
+    r_n = tn.quat_to_rmat(q_n)
+    d_lat = tn.rotate_vecd(r_n.T, d_vecd_sm)
+    e_trial = e_n + dt * d_lat
+    s_trial = model.elast.stress_vecd(e_trial)
+    taus = jnp.asarray(model.slip.P) @ s_trial
+    # strength proxy: gdots==0 inversion not needed, use kinetics strength
+    kin = model.kinetics
+    if hasattr(kin, "_strength"):
+        g = kin._strength(h_n)[0]
+    else:
+        g = h_n[0]
+    ratio_trial = jnp.max(jnp.abs(taus)) / g
+    deff = tn.vecd_deff(d_lat)
+    ratio_op = kin.operating_ratio(deff)
+    scale = jnp.minimum(1.0, ratio_op / jnp.maximum(ratio_trial, 1e-30))
+    return e_trial * scale
+
+
+def _solve_point_coupled(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
+                         q_n, h_n, temp_k):
+    """Fully-implicit (e, xi, h) dogleg solve, one point.
+
+    One (8+nH)-dim trust-region solve; the hardness backward-Euler residual
+    is appended, and its Jacobian rows/cols come from forward-mode AD of the
+    (cheap) scalar hardness residual.
+    """
+    nh = model.n_h
+
+    def rj(z):
+        x, h = z[:8], z[8:]
+        rx, Jxx = _residual_and_jac(model, x, h, dt, d_vecd_sm, w_vec_sm,
+                                    e_n, q_n, temp_k)
+
+        def rh_of(z2):
+            x2, h2 = z2[:8], z2[8:]
+            gd = _gdots_of(model, x2, h2, temp_k)
+            return model.kinetics.h_residual(h2, h_n, gd, dt, temp_k)
+
+        rh = rh_of(z)
+        Jh = jax.jacfwd(rh_of)(z)  # (nh, 8+nh)
+        # d rx / d h via AD on the (vector) residual w.r.t. h only
+        Jxh = jax.jacfwd(lambda hh: _residual(
+            model, x, hh, dt, d_vecd_sm, w_vec_sm, e_n, q_n, temp_k))(h)
+        J = jnp.block([[Jxx, Jxh], [Jh[:, :8], Jh[:, 8:]]])
+        return jnp.concatenate([rx, rh]), J
+
+    e0 = _initial_guess(model, dt, d_vecd_sm, e_n, q_n, h_n)
+    z0 = jnp.concatenate([e0, jnp.zeros(3, dtype=e_n.dtype), h_n])
+    z, ok, iters, _ = dogleg_solve(rj, z0, tol=model.solver_tol,
+                                   max_iter=model.solver_max_iter)
+    return z[:8], z[8:], iters, ok
+
+
+def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
+                           q_n, h_n, temp_k):
+    """ExaCMech-style staggered solve: (e,xi) | h alternation."""
+
+    e0 = _initial_guess(model, dt, d_vecd_sm, e_n, q_n, h_n)
+    x0 = jnp.concatenate([e0, jnp.zeros(3, dtype=e_n.dtype)])
 
     def solve_exi(h):
         def rj(x):
-            r = _residual(model, x, h, dt, d_vecd_sm, w_vec_sm, e_n, q_n,
-                          temp_k)
-            J = jax.jacfwd(lambda y: _residual(
-                model, y, h, dt, d_vecd_sm, w_vec_sm, e_n, q_n, temp_k))(x)
-            return r, J
+            return _residual_and_jac(model, x, h, dt, d_vecd_sm, w_vec_sm,
+                                     e_n, q_n, temp_k)
 
-        x0 = jnp.concatenate([e_n, jnp.zeros(3, dtype=e_n.dtype)])
         return dogleg_solve(rj, x0, tol=model.solver_tol,
                             max_iter=model.solver_max_iter)
-
-    def gdots_of(x, h):
-        s_lat = model.elast.stress_vecd(x[:5])
-        taus = jnp.asarray(model.slip.P) @ s_lat
-        return model.kinetics.gdots(taus, h, temp_k)
-
-    x0 = jnp.concatenate([e_n, jnp.zeros(3, dtype=e_n.dtype)])
 
     def stagger_body(_, carry):
         x, h, iters_total, converged = carry
         x, ok, iters, _ = solve_exi(h)
-        gd = gdots_of(x, h)
+        gd = _gdots_of(model, x, h, temp_k)
         h = model.kinetics.update_h(h_n, gd, dt, temp_k)
         return (x, h, iters_total + iters,
                 jnp.logical_and(converged, ok))
@@ -144,6 +256,15 @@ def _solve_point(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
         stagger_body,
         (x0, h_n, jnp.asarray(0), jnp.asarray(True)))
     return x, h, iters_total, converged
+
+
+def _solve_point(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
+                 temp_k):
+    if model.hardness_mode == "coupled":
+        return _solve_point_coupled(model, dt, d_vecd_sm, w_vec_sm, e_n,
+                                    q_n, h_n, temp_k)
+    return _solve_point_staggered(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n,
+                                  h_n, temp_k)
 
 
 def point_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1, e_int_n,
@@ -190,30 +311,42 @@ def point_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1, e_int_n,
 
     if compute_tangent:
         out["tangent"] = _consistent_tangent(
-            model, x, h_end, dt, d_vecd_sm, w_vec_sm, e_n, q_n, v1, temp_k)
+            model, x, h_end, h_n, dt, d_vecd_sm, w_vec_sm, e_n, q_n, v1,
+            temp_k)
     return out
 
 
-def _consistent_tangent(model, x_sol, h, dt, d_vecd_sm, w_vec_sm, e_n, q_n,
-                        v1, temp_k):
+def _consistent_tangent(model, x_sol, h_sol, h_n, dt, d_vecd_sm, w_vec_sm,
+                        e_n, q_n, v1, temp_k):
     """6x6 d(sigma_svec)/d(delta_eps_svec_eng) via the implicit-function
-    theorem at the converged solution (hardness frozen)."""
+    theorem on the fully-coupled (e, xi, h) system at the converged
+    solution, so the outer FEM Newton sees the hardening coupling too."""
+    nh = model.n_h
 
-    def resid(x, d):
-        return _residual(model, x, h, dt, d, w_vec_sm, e_n, q_n, temp_k)
+    def gdots_of(x, h):
+        s_lat = model.elast.stress_vecd(x[:5])
+        taus = jnp.asarray(model.slip.P) @ s_lat
+        return model.kinetics.gdots(taus, h, temp_k)
 
-    def stress_sm(x):
-        e_end = x[:5]
-        xi = x[5:]
+    def resid_joint(z, d):
+        x, h = z[:8], z[8:]
+        rx = _residual(model, x, h, dt, d, w_vec_sm, e_n, q_n, temp_k)
+        rh = model.kinetics.h_residual(h, h_n, gdots_of(x, h), dt, temp_k)
+        return jnp.concatenate([rx, rh])
+
+    def stress_sm(z):
+        e_end = z[:5]
+        xi = z[5:8]
         q_end = tn.quat_multiply(q_n, tn.expmap_to_quat(xi))
         r_end = tn.quat_to_rmat(q_end)
         return tn.rotate_vecd(r_end, model.elast.stress_vecd(e_end)) / v1
 
-    J = jax.jacfwd(lambda y: resid(y, d_vecd_sm))(x_sol)  # (8, 8)
-    dR_dd = jax.jacfwd(lambda d: resid(x_sol, d))(d_vecd_sm)  # (8, 5)
-    dx_dd = -solve_dense(J, dR_dd)  # (8, 5)
-    ds_dx = jax.jacfwd(stress_sm)(x_sol)  # (5, 8)
-    ds_dd = ds_dx @ dx_dd  # (5, 5) per unit deformation *rate*
+    z_sol = jnp.concatenate([x_sol, h_sol])
+    J = jax.jacfwd(lambda z: resid_joint(z, d_vecd_sm))(z_sol)
+    dR_dd = jax.jacfwd(lambda d: resid_joint(z_sol, d))(d_vecd_sm)
+    dz_dd = -solve_dense(J, dR_dd)  # (8+nh, 5)
+    ds_dz = jax.jacfwd(stress_sm)(z_sol)  # (5, 8+nh)
+    ds_dd = ds_dz @ dz_dd  # (5, 5) per unit deformation *rate*
 
     Ms = jnp.asarray(M_SVEC_FROM_VECD)
     Me = jnp.asarray(M_VECD_FROM_SVEC_ENG)

@@ -82,6 +82,12 @@ class VocePL:
         gd = jnp.where(big, self.gdot0 * jnp.exp(capped) * (1.0 + over), 0.0)
         return jnp.sign(taus) * gd
 
+    def operating_ratio(self, deff):
+        """Estimate of |tau|/g at fully-developed flow at rate ``deff``.
+
+        Used only to construct the implicit solver's initial guess."""
+        return jnp.power(jnp.maximum(deff, 1e-12) / self.gdot0, self.xm)
+
     def _gsat(self, shrate_sum):
         if self.xms == 0.0:
             return jnp.full_like(shrate_sum, self.gs0)
@@ -97,6 +103,13 @@ class VocePL:
         n = self.voce_exponent
         xn = x if n == 1.0 else jnp.power(jnp.maximum(x, _TINY), n)
         return self.h0 * xn
+
+    def h_residual(self, h, h_n, gdots, dt, temp_k):
+        """Backward-Euler hardness residual (for the coupled tangent)."""
+        del temp_k
+        shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
+        gs = self._gsat(shrate)
+        return h - h_n - self._hdot(h, gs) * shrate * dt
 
     def update_h(self, h_n, gdots, dt, temp_k):
         """Implicit (backward-Euler) hardness update given converged gdots.
@@ -173,6 +186,12 @@ class KMBalD:
         rho = jnp.maximum(h[..., 0:1], _TINY)
         return self.go + self.s * jnp.sqrt(rho)
 
+    def operating_ratio(self, deff):
+        """|tau_eff|/g at flow rate deff (thermal branch, p=q~1 estimate)."""
+        c_t = self.c1 * self.mu_ref / 300.0
+        x = 1.0 + jnp.log(jnp.maximum(deff, 1e-12) / self.gam_wo) / c_t
+        return jnp.clip(x, 0.05, 1.0)
+
     def gdots(self, taus, h, temp_k):
         g = self._strength(h)
         tau_eff = jnp.maximum(jnp.abs(taus) - self.tau_a, 0.0)
@@ -200,6 +219,19 @@ class KMBalD:
         gd = jnp.where(tau_eff > 1e-30,
                        jnp.exp(jnp.maximum(log_gd, -700.0)), 0.0)
         return jnp.sign(taus) * gd
+
+    def _k2(self, shrate):
+        return self.k2_0 * jnp.power(
+            self.gam_ro_dd / jnp.maximum(shrate, _TINY), self.ninv)
+
+    def h_residual(self, h, h_n, gdots, dt, temp_k):
+        """Backward-Euler density residual (for the coupled tangent)."""
+        del temp_k
+        shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
+        dgam = shrate * dt
+        k2 = self._k2(shrate)
+        rho = jnp.maximum(h, _TINY)
+        return h - h_n - (self.k1 * jnp.sqrt(rho) - k2 * rho) * dgam
 
     def update_h(self, h_n, gdots, dt, temp_k):
         """Implicit Kocks-Mecking density update.

@@ -88,11 +88,14 @@ def dogleg_solve(resid_jac_fn, x0, tol=1e-10, max_iter=100, delta_init=1.0,
         J_new = jnp.where(accept, J_trial, J)
 
         p_norm = norm(p)
-        grow = jnp.logical_and(rho > 0.75, p_norm > 0.8 * delta)
+        grow = jnp.logical_and(rho > 0.8, p_norm > 0.9 * delta)
         shrink = jnp.logical_or(jnp.logical_not(finite), rho < 0.25)
+        very_bad = jnp.logical_or(jnp.logical_not(finite), rho < 0.0)
+        factor = jnp.where(very_bad, 0.1, 0.25)
         delta_new = jnp.where(grow, jnp.minimum(2.0 * delta, delta_max), delta)
         delta_new = jnp.where(shrink,
-                              jnp.maximum(0.25 * p_norm, delta_min), delta_new)
+                              jnp.maximum(factor * p_norm, delta_min),
+                              delta_new)
 
         done_new = norm(r_new) < tol
         return (x_new, r_new, J_new, delta_new, it + 1, done_new)

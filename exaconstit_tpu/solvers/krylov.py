@@ -62,53 +62,60 @@ def pcg(matvec, precond, b, rel_tol, abs_tol, max_iter):
 
 
 def minres(matvec, precond, b, rel_tol, abs_tol, max_iter):
-    """Preconditioned MINRES (MFEM-style).  Returns (x, iters, converged)."""
-    x = jnp.zeros_like(b)
-    v1 = b
-    u1 = precond(v1)
-    eta = jnp.sqrt(jnp.vdot(u1, v1))
-    gamma = eta
-    norm_goal = jnp.maximum(rel_tol * eta, jnp.asarray(abs_tol, b.dtype))
+    """Preconditioned MINRES (Paige-Saunders).
 
-    w0 = jnp.zeros_like(b)
-    w1 = jnp.zeros_like(b)
-    v0 = jnp.zeros_like(b)
-    c0 = c1 = jnp.asarray(1.0, b.dtype)
-    s0 = s1 = jnp.asarray(0.0, b.dtype)
+    Convergence on the preconditioned residual norm phibar, like MFEM's
+    MINRESSolver.  Returns (x, iters, converged).
+    """
+    dtype = b.dtype
+    r1 = b  # x0 = 0
+    y = precond(r1)
+    beta1 = jnp.sqrt(jnp.vdot(r1, y))
+    goal = jnp.maximum(rel_tol * beta1, jnp.asarray(abs_tol, dtype))
+
+    st = dict(
+        x=jnp.zeros_like(b), r1=r1, r2=r1, y=y,
+        oldb=jnp.asarray(0.0, dtype), beta=beta1,
+        dbar=jnp.asarray(0.0, dtype), epsln=jnp.asarray(0.0, dtype),
+        phibar=beta1, cs=jnp.asarray(-1.0, dtype),
+        sn=jnp.asarray(0.0, dtype),
+        w=jnp.zeros_like(b), w2=jnp.zeros_like(b),
+        it=jnp.asarray(0), done=beta1 <= goal,
+    )
 
     def cond(st):
         return jnp.logical_and(st["it"] < max_iter,
                                jnp.logical_not(st["done"]))
 
     def body(st):
-        x, v0, v1, u1, w0, w1 = st["x"], st["v0"], st["v1"], st["u1"], \
-            st["w0"], st["w1"]
-        gamma, eta = st["gamma"], st["eta"]
-        c0, c1, s0, s1 = st["c0"], st["c1"], st["s0"], st["s1"]
-        z = u1 / gamma
-        av = matvec(z)
-        alpha = jnp.vdot(z, av) / gamma
-        v2 = av - (alpha / gamma) * v1 - (gamma / st["gamma_prev"]) * v0
-        u2 = precond(v2)
-        gamma2 = jnp.sqrt(jnp.vdot(u2, v2))
-        delta = c1 * alpha - c0 * s1 * gamma
-        rho3 = s0 * gamma
-        rho2 = s1 * alpha + c0 * c1 * gamma
-        rho1 = jnp.sqrt(delta * delta + gamma2 * gamma2)
-        c2 = delta / rho1
-        s2 = gamma2 / rho1
-        w2 = (z - rho3 * w0 - rho2 * w1) / rho1
-        x = x + c2 * eta * w2
-        eta = -s2 * eta
-        done = jnp.abs(eta) <= norm_goal
-        return dict(x=x, v0=v1, v1=v2, u1=u2, w0=w1, w1=w2,
-                    gamma_prev=gamma, gamma=gamma2, eta=eta,
-                    c0=c1, c1=c2, s0=s1, s1=s2, it=st["it"] + 1, done=done)
+        v = st["y"] / st["beta"]
+        y = matvec(v)
+        y = jnp.where(st["it"] >= 1,
+                      y - (st["beta"] / jnp.where(st["oldb"] == 0.0, 1.0,
+                                                  st["oldb"])) * st["r1"],
+                      y)
+        alfa = jnp.vdot(v, y)
+        y = y - (alfa / st["beta"]) * st["r2"]
+        r1, r2 = st["r2"], y
+        y = precond(r2)
+        oldb, beta = st["beta"], jnp.sqrt(jnp.vdot(r2, y))
+        oldeps = st["epsln"]
+        delta = st["cs"] * st["dbar"] + st["sn"] * alfa
+        gbar = st["sn"] * st["dbar"] - st["cs"] * alfa
+        epsln = st["sn"] * beta
+        dbar = -st["cs"] * beta
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta * beta), 1e-300)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * st["phibar"]
+        phibar = sn * st["phibar"]
+        w1, w2 = st["w2"], st["w"]
+        w = (v - oldeps * w1 - delta * w2) / gamma
+        x = st["x"] + phi * w
+        return dict(x=x, r1=r1, r2=r2, y=y, oldb=oldb, beta=beta, dbar=dbar,
+                    epsln=epsln, phibar=phibar, cs=cs, sn=sn, w=w, w2=w2,
+                    it=st["it"] + 1, done=phibar <= goal)
 
-    st = dict(x=x, v0=v0, v1=v1, u1=u1, w0=w0, w1=w1,
-              gamma_prev=jnp.asarray(1.0, b.dtype), gamma=gamma, eta=eta,
-              c0=c0, c1=c1, s0=s0, s1=s1, it=jnp.asarray(0),
-              done=jnp.abs(eta) <= norm_goal)
     st = jax.lax.while_loop(cond, body, st)
     return st["x"], st["it"], st["done"]
 

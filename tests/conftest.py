@@ -1,10 +1,21 @@
 import os
+import sys
 
-# Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
-# without TPU hardware; numerical checks are in f64.
-# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (single real
-# TPU chip); tests need the 8-device virtual CPU mesh instead.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The ambient axon sitecustomize force-registers the TPU backend at
+# interpreter startup (ignoring JAX_PLATFORMS).  Tests need the 8-device
+# virtual CPU mesh, so re-exec once with the axon hook disabled.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execvpe(sys.executable, [sys.executable, "-m", "pytest"]
+               + sys.argv[1:], env)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
