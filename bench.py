@@ -1,0 +1,69 @@
+"""Benchmark: quadrature-point crystal-plasticity material evals/sec/chip.
+
+North-star metric from BASELINE.json.  Runs the full fused compute step
+(material solve + consistent tangent + residual + EA assembly) at a
+production-ish batch on whatever device JAX provides (the real TPU chip
+under axon), measures steady-state throughput, and prints one JSON line.
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
+ratio against the recorded best from round 1 (kept in bench_baseline.json
+so later rounds track progress against it).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def main():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _tiny_problem
+
+    # ~13.8k elements -> 110k quadrature points per step
+    system, v0, x0, state, ess_flat = _tiny_problem([24, 24, 24])
+    nqpts_total = system.ne_pad * system.fes.nqpts
+
+    step = system.make_jit_step(newton_iters=2)
+    evals_per_step = 3 * nqpts_total  # setup runs 3x per jit_step
+
+    # compile + warmup
+    out = step(v0, x0, state, 0.005, ess_flat)
+    jax.block_until_ready(out)
+
+    # measure steady state
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(v0, x0, state, 0.005, ess_flat)
+        jax.block_until_ready(out)
+    dt_s = (time.perf_counter() - t0) / reps
+
+    value = evals_per_step / dt_s
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f).get("value")
+    vs_baseline = value / baseline if baseline else 1.0
+    if baseline is None:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"value": value,
+                       "metric": "qpt_material_evals_per_sec_per_chip"}, f)
+
+    print(json.dumps({
+        "metric": "qpt_material_evals_per_sec_per_chip",
+        "value": value,
+        "unit": "evals/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -238,6 +238,11 @@ def parse_options(floc: str) -> ExaOptions:
         data = tomllib.load(f)
     opt = ExaOptions(floc=floc, basedir=os.path.dirname(os.path.abspath(floc)))
     opt.version = data.get("Version", opt.version)
+    # TPU-native extension: checkpoint/restart (a gap in the reference)
+    ck = data.get("Checkpoint", {})
+    opt.checkpoint_steps = int(ck.get("steps", 0))
+    opt.checkpoint_dir = ck.get("dir", "checkpoint")
+    opt.restart = bool(ck.get("restart", False))
     _parse_properties(opt, data)
     _parse_bcs(opt, data)
     _parse_model(opt, data)

@@ -116,44 +116,108 @@ def resolve_step_bcs(opt: ExaOptions, fes: FESpace, step: int) -> StepBCs:
 # ----------------------------------------------------------------------------
 
 class MechSystem:
-    """Owns the FE space, material model, and jitted compute kernels."""
+    """Owns the FE space, material model, and jitted compute kernels.
 
-    def __init__(self, opt: ExaOptions, mesh: HexMesh, model: ECMechModel):
+    With ``device_mesh`` set, element-axis arrays shard across the 1-D
+    ``"elems"`` mesh axis (domain decomposition, the TPU analog of the
+    reference's metis/MPI partitioning) while nodal vectors stay
+    replicated; XLA's SPMD partitioner turns the E->T scatter-adds into
+    local partial sums + all-reduces.
+    """
+
+    def __init__(self, opt: ExaOptions, mesh: HexMesh, model: ECMechModel,
+                 device_mesh=None):
         self.opt = opt
         self.fes = FESpace.create(mesh)
         self.model = model
         self.dshape = jnp.asarray(self.fes.ref.dshape)
         self.qwts = jnp.asarray(self.fes.ref.qwts)
         self.assembly = opt.assembly
+        self.device_mesh = device_mesh
         nn = self.fes.num_nodes
 
+        # element padding + mask for sharding
+        ne_real = self.fes.num_elems
+        if device_mesh is not None:
+            from .parallel.sharding import (elem_sharding, pad_elements,
+                                             replicated)
+            n_sh = device_mesh.devices.size
+            ne_pad = pad_elements(ne_real, n_sh)
+            self._shard_e = elem_sharding(device_mesh)
+            self._shard_r = replicated(device_mesh)
+        else:
+            ne_pad = ne_real
+            self._shard_e = self._shard_r = None
+        self.ne_pad = ne_pad
+        mask = np.zeros(ne_pad)
+        mask[:ne_real] = 1.0
+        self.elem_mask = jnp.asarray(mask)
+        conn = np.asarray(self.fes.conn)
+        if ne_pad > ne_real:
+            conn = np.concatenate(
+                [conn, np.tile(conn[:1], (ne_pad - ne_real, 1))], axis=0)
+        self.conn_pad = jnp.asarray(conn)
+        if device_mesh is not None:
+            self.conn_pad = jax.device_put(self.conn_pad, self._shard_e)
+            self.elem_mask = jax.device_put(self.elem_mask, self._shard_r)
+
         ref = self.fes.ref
+
+        def constrain_e(x):
+            if self._shard_e is not None:
+                return jax.lax.with_sharding_constraint(x, self._shard_e)
+            return x
+
+        def constrain_r(x):
+            if self._shard_r is not None:
+                return jax.lax.with_sharding_constraint(x, self._shard_r)
+            return x
+
+        self._constrain_e = constrain_e
+        self._constrain_r = constrain_r
+
+        def gather(tvec):
+            return constrain_e(tvec[self.conn_pad])
+
+        def scatter_add(evec):
+            out = jnp.zeros((nn, 3), dtype=evec.dtype)
+            out = out.at[self.conn_pad.reshape(-1)].add(evec.reshape(-1, 3))
+            return constrain_r(out)
+
+        self._gather = gather
+        self._scatter_add = scatter_add
 
         def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords):
             """Residual + gradient data + diagonal at velocity iterate v."""
             x_end = x_beg + dt * v if advance_coords else x_beg
-            el_x = self.fes.gather(x_end)
-            el_v = self.fes.gather(v)
+            el_x = gather(x_end)
+            el_v = gather(v)
             J = jacobians(el_x, self.dshape)
             vgrad = grad_calc(el_v, self.dshape, J)
             ne, nq = vgrad.shape[0], vgrad.shape[1]
             stress, state_end, c6 = model.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
                 state_beg.reshape(ne * nq, -1))
-            stress_q = stress.reshape(ne, nq, 6)
-            c6_q = c6.reshape(ne, nq, 6, 6)
+            stress_q = constrain_e(stress.reshape(ne, nq, 6))
+            c6_q = constrain_e(c6.reshape(ne, nq, 6, 6))
             force = ops.residual_force(el_x, self.dshape, self.qwts, stress_q)
-            r = self.fes.scatter_add(force).reshape(-1)
+            force = force * self.elem_mask[:, None, None]
+            r = scatter_add(force).reshape(-1)
             r = jnp.where(ess_mask.reshape(-1), 0.0, r)
             if self.assembly == Assembly.PA:
                 k_data = ops.assemble_pa_gradient(el_x, self.dshape,
                                                   self.qwts, c6_q, dt)
+                k_data = k_data * self.elem_mask[:, None, None, None, None,
+                                                 None]
                 dloc = ops.pa_diagonal(el_x, self.dshape, self.qwts, c6_q, dt)
+                dloc = dloc * self.elem_mask[:, None, None]
             else:  # EA covers the reference's EA and FULL paths
                 k_data = ops.assemble_ea_gradient(el_x, self.dshape,
                                                   self.qwts, c6_q, dt)
+                k_data = k_data * self.elem_mask[:, None, None]
                 dloc = ops.ea_diagonal(k_data, ref.nnodes)
-            diag = self.fes.scatter_add(dloc).reshape(-1)
+            k_data = constrain_e(k_data)
+            diag = scatter_add(dloc).reshape(-1)
             diag = jnp.where(ess_mask.reshape(-1), 1.0, diag)
             return r, k_data, diag, stress_q, state_end.reshape(ne, nq, -1)
 
@@ -161,8 +225,8 @@ class MechSystem:
 
         def residual_only(v, x_beg, state_beg, dt, ess_mask):
             x_end = x_beg + dt * v
-            el_x = self.fes.gather(x_end)
-            el_v = self.fes.gather(v)
+            el_x = gather(x_end)
+            el_v = gather(v)
             J = jacobians(el_x, self.dshape)
             vgrad = grad_calc(el_v, self.dshape, J)
             ne, nq = vgrad.shape[0], vgrad.shape[1]
@@ -170,8 +234,9 @@ class MechSystem:
                 dt, vgrad.reshape(ne * nq, 3, 3),
                 state_beg.reshape(ne * nq, -1), compute_tangent=False)
             force = ops.residual_force(el_x, self.dshape, self.qwts,
-                                       stress.reshape(ne, nq, 6))
-            r = self.fes.scatter_add(force).reshape(-1)
+                                       constrain_e(stress.reshape(ne, nq, 6)))
+            force = force * self.elem_mask[:, None, None]
+            r = scatter_add(force).reshape(-1)
             return jnp.where(ess_mask.reshape(-1), 0.0, r)
 
         self._residual_only = jax.jit(residual_only)
@@ -179,22 +244,22 @@ class MechSystem:
         def grad_matvec(k_data, x_flat, ess_mask_flat):
             """y = K x with essential-dof identity rows/cols."""
             x = jnp.where(ess_mask_flat, 0.0, x_flat).reshape(nn, 3)
-            el_u = self.fes.gather(x)
+            el_u = gather(x)
             if self.assembly == Assembly.PA:
                 el_y = ops.apply_pa_gradient(k_data, self.dshape, el_u)
             else:
                 el_y = ops.apply_ea_gradient(k_data, el_u)
-            y = self.fes.scatter_add(el_y).reshape(-1)
+            y = scatter_add(el_y).reshape(-1)
             return jnp.where(ess_mask_flat, x_flat, y)
 
         def grad_matvec_unconstrained(k_data, x_flat):
             x = x_flat.reshape(nn, 3)
-            el_u = self.fes.gather(x)
+            el_u = gather(x)
             if self.assembly == Assembly.PA:
                 el_y = ops.apply_pa_gradient(k_data, self.dshape, el_u)
             else:
                 el_y = ops.apply_ea_gradient(k_data, el_u)
-            return self.fes.scatter_add(el_y).reshape(-1)
+            return scatter_add(el_y).reshape(-1)
 
         self._grad_matvec_unconstrained = jax.jit(grad_matvec_unconstrained)
 
@@ -213,16 +278,41 @@ class MechSystem:
                           opt.krylov_abs_tol, opt.krylov_iter)
 
         self._krylov = jax.jit(krylov_solve)
+        self._setup_raw = setup_fn
+        self._krylov_raw = krylov_solve
 
         def vol_avg(values_q, el_x, divide):
             """Volume-weighted average (or integral) of a qpt field."""
             wts = ops.quad_point_volumes(el_x, self.dshape, self.qwts)
+            wts = wts * self.elem_mask[:, None]
             s = jnp.einsum("eq,eqk->k", wts, values_q)
             if divide:
                 return s / jnp.sum(wts)
             return s
 
         self._vol_avg = jax.jit(vol_avg, static_argnums=(2,))
+
+    def make_jit_step(self, newton_iters=2):
+        """One fully-jitted time step (fixed Newton iteration count).
+
+        Used by the multi-chip dry run and throughput benchmarks; the
+        production driver uses the host-orchestrated adaptive Newton.
+        """
+
+        def step(v, x_beg, state, dt, ess_flat):
+            def newton_body(_, v):
+                r, kd, dg, _, _ = self._setup_raw(v, x_beg, state, dt,
+                                                  ess_flat, True)
+                c, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
+                return v - c.reshape(-1, 3)
+
+            v = jax.lax.fori_loop(0, newton_iters, newton_body, v)
+            r, kd, dg, stress, state_end = self._setup_raw(
+                v, x_beg, state, dt, ess_flat, True)
+            x_cur = x_beg + dt * v
+            return v, x_cur, stress, state_end, jnp.linalg.norm(r)
+
+        return jax.jit(step)
 
     # -- Newton solve (host loop) -------------------------------------------
     def newton_solve(self, v, x_beg, state, dt, ess_mask, verbose=True):
@@ -319,9 +409,11 @@ class MechSystem:
 # ----------------------------------------------------------------------------
 
 class Simulation:
-    def __init__(self, opt: ExaOptions, workdir: str | None = None):
+    def __init__(self, opt: ExaOptions, workdir: str | None = None,
+                 device_mesh=None):
         self.opt = opt
         self.workdir = workdir or os.getcwd()
+        self.device_mesh = device_mesh
 
         # ---- mesh (mechanics_driver.cpp:236-317) ----
         if opt.mesh_type.value == "auto":
@@ -339,7 +431,8 @@ class Simulation:
         assert props.size == opt.nProps
         self.props = props
         self.model = build_model(opt, props)
-        self.system = MechSystem(opt, self.mesh, self.model)
+        self.system = MechSystem(opt, self.mesh, self.model,
+                                 device_mesh=device_mesh)
         fes = self.system.fes
 
         # ---- orientations -> per-element quats ----
@@ -362,14 +455,28 @@ class Simulation:
         # apply non-zero entries of the state-vars file where the model's
         # own initialization leaves defaults (reference: setStateVarData
         # merges the file with ExaCMech's histInit; all test files are 0)
-        self.state = jnp.asarray(state0.reshape(fes.num_elems, nq, -1))
-        self.stress = jnp.zeros((fes.num_elems, nq, 6))
+        state0 = state0.reshape(fes.num_elems, nq, -1)
+        ne_pad = self.system.ne_pad
+        if ne_pad > fes.num_elems:
+            pad = np.tile(state0[:1], (ne_pad - fes.num_elems, 1, 1))
+            state0 = np.concatenate([state0, pad], axis=0)
+        self.state = jnp.asarray(state0)
+        self.stress = jnp.zeros((ne_pad, nq, 6))
 
         # ---- coordinates / velocity ----
         self.x_ref = jnp.asarray(self.mesh.coords)
         self.x_beg = self.x_ref
         self.x_cur = self.x_ref
         self.v = jnp.zeros_like(self.x_ref)
+        if device_mesh is not None:
+            from .parallel.sharding import elem_sharding, replicated
+            se, sr = elem_sharding(device_mesh), replicated(device_mesh)
+            self.state = jax.device_put(self.state, se)
+            self.stress = jax.device_put(self.stress, se)
+            self.x_ref = jax.device_put(self.x_ref, sr)
+            self.x_beg = self.x_ref
+            self.x_cur = self.x_ref
+            self.v = jax.device_put(self.v, sr)
 
         # ---- time stepping ----
         if opt.dt_cust:
@@ -472,7 +579,7 @@ class Simulation:
     def write_averages(self):
         opt = self.opt
         sysm = self.system
-        el_x = sysm.fes.gather(self.x_cur)
+        el_x = sysm._gather(self.x_cur)
         avg_stress = np.asarray(sysm._vol_avg(self.stress, el_x, True))
         self._append_file(opt.avg_stress_fname,
                           " ".join(f"{v:.6g}" for v in avg_stress) + "\n")
@@ -485,12 +592,13 @@ class Simulation:
                 self._append_file(opt.avg_pl_work_fname, f"{plw[0]:.6g}\n")
             # average deformation gradient F = d x_cur / d X  (column-major
             # 9-vector layout, mechanics_operator.cpp:393-427)
-            el_X = sysm.fes.gather(self.x_ref)
+            el_X = sysm._gather(self.x_ref)
             Jref = jacobians(el_X, sysm.dshape)
             F = grad_calc(el_x, sysm.dshape, Jref)
             Fcols = jnp.stack([F[..., i, j] for j in range(3)
                                for i in range(3)], axis=-1)
             wts_ref = ops.quad_point_volumes(el_X, sysm.dshape, sysm.qwts)
+            wts_ref = wts_ref * sysm.elem_mask[:, None]
             favg = np.asarray(jnp.einsum("eq,eqk->k", wts_ref, Fcols)
                               / jnp.sum(wts_ref))
             self._append_file(opt.avg_def_grad_fname,
@@ -511,6 +619,15 @@ class Simulation:
     def run(self, verbose=True):
         t = 0.0
         ti = 1
+        ckpt_path = os.path.join(self.workdir, self.opt.checkpoint_dir,
+                                 "checkpoint.npz")
+        if self.opt.restart and os.path.exists(ckpt_path):
+            from .io.checkpoint import load_checkpoint
+            t, ti_done = load_checkpoint(ckpt_path, self)
+            ti = ti_done + 1
+            if verbose:
+                print(f"restarted from checkpoint at step {ti_done}, "
+                      f"t = {t:.6g}")
         while ti <= self.nsteps or (self.opt.dt_auto and
                                     t < self.t_final - 1e-14):
             if self.cust_dt is not None:
@@ -527,6 +644,10 @@ class Simulation:
             t += dt_used
             last = abs(t - self.t_final) <= abs(1e-3 * dt_used)
             self.write_averages()
+            if self.opt.checkpoint_steps > 0 and \
+                    ti % self.opt.checkpoint_steps == 0:
+                from .io.checkpoint import save_checkpoint
+                save_checkpoint(ckpt_path, self, t, ti)
             if verbose:
                 print(f"step {ti} done, t = {t:.6g} "
                       f"({self.step_times[-1]:.2f}s)")

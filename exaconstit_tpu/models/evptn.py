@@ -72,11 +72,16 @@ class EvptnModel:
     eos: EosConst
     solver_tol: float = 1e-10
     solver_max_iter: int = 200
-    # "coupled": one dogleg over (e, xi, h) — fully-implicit, consistent
-    #            with the IFT tangent (default);
-    # "staggered": ExaCMech-style alternation, stagger_iters passes.
-    hardness_mode: str = "coupled"
-    stagger_iters: int = 3
+    # "staggered": ExaCMech-style lagged hardness — solve (e, xi) with h
+    #              frozen, then update h implicitly; stagger_iters passes.
+    #              One pass reproduces the reference's golden curves to
+    #              ~1e-5 relative (default).
+    # "coupled":   one dogleg over (e, xi, h) — fully-implicit variant.
+    hardness_mode: str = "staggered"
+    stagger_iters: int = 1
+    # time-integration weight for the plastic-flow term in the elastic
+    # strain update: 1.0 = backward Euler, 0.5 = trapezoidal
+    flow_theta: float = 1.0
 
     @property
     def nslip(self):
@@ -105,6 +110,13 @@ def _residual(model: EvptnModel, x, h, dt, d_vecd_sm, w_vec_sm, e_n, q_n,
     gd = model.kinetics.gdots(taus, h, temp_k)  # (S,)
     dp = gd @ P  # (5,)
     wp = gd @ Q  # (3,)
+
+    th = model.flow_theta
+    if th != 1.0:
+        gd_n = model.kinetics.gdots(P @ model.elast.stress_vecd(e_n), h,
+                                    temp_k)
+        dp = th * dp + (1.0 - th) * (gd_n @ P)
+        wp = th * wp + (1.0 - th) * (gd_n @ Q)
 
     r_e = e_end - e_n + dt * (dp - d_lat)
     r_xi = xi - dt * (w_lat - wp)
@@ -145,13 +157,19 @@ def _residual_and_jac(model: EvptnModel, x, h, dt, d_vecd_sm, w_vec_sm, e_n,
     dp = gd @ P
     wp = gd @ Q
 
+    th = model.flow_theta
+    if th != 1.0:
+        gd_n = model.kinetics.gdots(P @ (C @ e_n), h, temp_k)
+        dp = th * dp + (1.0 - th) * (gd_n @ P)
+        wp = th * wp + (1.0 - th) * (gd_n @ Q)
+
     r_e = e_end - e_n + dt * (dp - d_lat)
     r_xi = xi - dt * (w_lat - wp)
     r = jnp.concatenate([r_e, r_xi])
 
-    # d(taus)/d(e) = P C ; d(dp)/d(e) = P^T diag(k') P C, etc.
+    # d(taus)/d(e) = P C ; d(dp)/d(e) = theta P^T diag(k') P C, etc.
     PC = P @ C  # (S, 5)
-    kp_PC = dgd_dtau[:, None] * PC  # (S, 5)
+    kp_PC = (th * dgd_dtau)[:, None] * PC  # (S, 5)
     J_ee = jnp.eye(5, dtype=x.dtype) + dt * (P.T @ kp_PC)
     J_xe = dt * (Q.T @ kp_PC)
     J_exi = -dt * dkin_dxi[:5]
@@ -224,7 +242,7 @@ def _solve_point_coupled(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
     z0 = jnp.concatenate([e0, jnp.zeros(3, dtype=e_n.dtype), h_n])
     z, ok, iters, _ = dogleg_solve(rj, z0, tol=model.solver_tol,
                                    max_iter=model.solver_max_iter)
-    return z[:8], z[8:], iters, ok
+    return z[:8], z[8:], z[8:], iters, ok
 
 
 def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
@@ -243,23 +261,27 @@ def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
                             max_iter=model.solver_max_iter)
 
     def stagger_body(_, carry):
-        x, h, iters_total, converged = carry
+        x, h_used, h, iters_total, converged = carry
+        h_used = h
         x, ok, iters, _ = solve_exi(h)
         gd = _gdots_of(model, x, h, temp_k)
         h = model.kinetics.update_h(h_n, gd, dt, temp_k)
-        return (x, h, iters_total + iters,
+        return (x, h_used, h, iters_total + iters,
                 jnp.logical_and(converged, ok))
 
     # fori_loop so the dogleg graph is traced/compiled once, not per pass
-    x, h, iters_total, converged = jax.lax.fori_loop(
+    x, h_used, h, iters_total, converged = jax.lax.fori_loop(
         0, model.stagger_iters,
         stagger_body,
-        (x0, h_n, jnp.asarray(0), jnp.asarray(True)))
-    return x, h, iters_total, converged
+        (x0, h_n, h_n, jnp.asarray(0), jnp.asarray(True)))
+    return x, h, h_used, iters_total, converged
 
 
 def _solve_point(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
                  temp_k):
+    """Returns (x, h_end, h_used, iters, converged) where h_used is the
+    hardness the (e, xi) system was solved against (= h_end for the
+    coupled mode; the lagged value for the staggered mode)."""
     if model.hardness_mode == "coupled":
         return _solve_point_coupled(model, dt, d_vecd_sm, w_vec_sm, e_n,
                                     q_n, h_n, temp_k)
@@ -277,8 +299,9 @@ def point_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1, e_int_n,
 
     Returns a dict of end-of-step state, stress, tangent, diagnostics.
     """
-    x, h_end, iters, ok = _solve_point(model, dt, d_vecd_sm, w_vec_sm, e_n,
-                                       q_n, h_n, temp_k)
+    x, h_end, h_used, iters, ok = _solve_point(model, dt, d_vecd_sm,
+                                               w_vec_sm, e_n, q_n, h_n,
+                                               temp_k)
     e_end = x[:5]
     xi = x[5:]
     q_end = tn.normalize_quat(tn.quat_multiply(q_n, tn.expmap_to_quat(xi)))
@@ -287,7 +310,9 @@ def point_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1, e_int_n,
     s_lat = model.elast.stress_vecd(e_end)
     P = jnp.asarray(model.slip.P)
     taus = P @ s_lat
-    gd = model.kinetics.gdots(taus, h_end, temp_k)
+    # outputs use the hardness the solve actually saw (ExaCMech stores the
+    # slip rates from the model evaluation itself)
+    gd = model.kinetics.gdots(taus, h_used, temp_k)
     dp_lat = gd @ P
 
     # stress outputs: Cauchy deviator in the sample frame + pressure
@@ -310,10 +335,46 @@ def point_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1, e_int_n,
                converged=ok)
 
     if compute_tangent:
+        # The h-coupled tangent is used for both hardness modes: for the
+        # lagged map it is formally inconsistent by O(dh), but it is
+        # empirically the more robust choice for the outer Newton at large
+        # time steps (the frozen-h variant, _frozen_h_tangent, stalls on
+        # the ramped-dt regression schedules).  Tangent choice does not
+        # change converged results.
         out["tangent"] = _consistent_tangent(
             model, x, h_end, h_n, dt, d_vecd_sm, w_vec_sm, e_n, q_n, v1,
             temp_k)
     return out
+
+
+def _frozen_h_tangent(model, x_sol, h, dt, d_vecd_sm, w_vec_sm, e_n, q_n,
+                      v1, temp_k):
+    """6x6 consistent tangent with hardness frozen — exact for the
+    staggered (lagged-h) update map."""
+
+    def resid(x, d):
+        return _residual(model, x, h, dt, d, w_vec_sm, e_n, q_n, temp_k)
+
+    def stress_sm(x):
+        e_end = x[:5]
+        xi = x[5:]
+        q_end = tn.quat_multiply(q_n, tn.expmap_to_quat(xi))
+        r_end = tn.quat_to_rmat(q_end)
+        return tn.rotate_vecd(r_end, model.elast.stress_vecd(e_end)) / v1
+
+    _, J = _residual_and_jac(model, x_sol, h, dt, d_vecd_sm, w_vec_sm, e_n,
+                             q_n, temp_k)
+    dR_dd = jax.jacfwd(lambda d: resid(x_sol, d))(d_vecd_sm)  # (8, 5)
+    dx_dd = -solve_dense(J, dR_dd)
+    ds_dx = jax.jacfwd(stress_sm)(x_sol)  # (5, 8)
+    ds_dd = ds_dx @ dx_dd
+
+    Ms = jnp.asarray(M_SVEC_FROM_VECD)
+    Me = jnp.asarray(M_VECD_FROM_SVEC_ENG)
+    c_dev = Ms @ (ds_dd / dt) @ Me
+    m = jnp.asarray(IDENT_VOL)
+    k_eff = model.eos.dpressure_dvolstrain(v1)
+    return c_dev + k_eff * jnp.outer(m, m)
 
 
 def _consistent_tangent(model, x_sol, h_sol, h_n, dt, d_vecd_sm, w_vec_sm,

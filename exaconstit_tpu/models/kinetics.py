@@ -126,8 +126,11 @@ class VocePL:
                 a = self.h0 / (gs - self.g0)
             else:
                 a = self.h0 / gs
-            # h' = a (gs - h) dgam  ->  backward Euler closed form
-            return (h_n + a * gs * dgam) / (1.0 + a * dgam)
+            # dh/dGamma = a (gs - h) with gs frozen over the step has the
+            # exact exponential solution; using it (rather than backward
+            # Euler) matches the reference's hardness evolution at the
+            # large dt values of the ramped test schedules.
+            return gs + (h_n - gs) * jnp.exp(-a * dgam)
         h = h_n
         for _ in range(20):
             r = h - h_n - self._hdot(h, gs) * dgam

@@ -125,10 +125,17 @@ def test_plastic_flow_and_hardening(voce_model):
 def test_consistent_tangent_fd(voce_model):
     """IFT tangent vs central finite differences of the full point update.
 
-    The tangent couples (elastic strain, lattice rotation, hardness), so it
-    must match central differences of the full staggered update tightly.
+    The tangent couples (elastic strain, lattice rotation, hardness); in
+    the fully-coupled hardness mode it must match central differences of
+    the complete point update tightly.  (The default lagged-hardness mode
+    intentionally pairs this tangent with a slightly different map for
+    outer-Newton robustness — see models/evptn.py.)
     """
+    import dataclasses
     model, _ = voce_model
+    model = dataclasses.replace(
+        model, evptn=dataclasses.replace(model.evptn,
+                                         hardness_mode="coupled"))
     N = 4
     state = jnp.asarray(model.init_state(np.tile([[1.0, 0, 0, 0]], (N, 1))))
     Lm = np.diag([-5e-4, -5e-4, 1e-3])
