@@ -187,7 +187,8 @@ class MechSystem:
         self._gather = gather
         self._scatter_add = scatter_add
 
-        def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords):
+        def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords,
+                     nsub=1):
             """Residual + gradient data + diagonal at velocity iterate v."""
             x_end = x_beg + dt * v if advance_coords else x_beg
             el_x = gather(x_end)
@@ -197,7 +198,7 @@ class MechSystem:
             ne, nq = vgrad.shape[0], vgrad.shape[1]
             stress, state_end, c6 = model.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
-                state_beg.reshape(ne * nq, -1))
+                state_beg.reshape(ne * nq, -1), nsub=nsub)
             stress_q = constrain_e(stress.reshape(ne, nq, 6))
             c6_q = constrain_e(c6.reshape(ne, nq, 6, 6))
             force = ops.residual_force(el_x, self.dshape, self.qwts, stress_q)
@@ -221,9 +222,9 @@ class MechSystem:
             diag = jnp.where(ess_mask.reshape(-1), 1.0, diag)
             return r, k_data, diag, stress_q, state_end.reshape(ne, nq, -1)
 
-        self._setup = jax.jit(setup_fn, static_argnums=(5,))
+        self._setup = jax.jit(setup_fn, static_argnums=(5, 6))
 
-        def residual_only(v, x_beg, state_beg, dt, ess_mask):
+        def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub=1):
             x_end = x_beg + dt * v
             el_x = gather(x_end)
             el_v = gather(v)
@@ -232,14 +233,28 @@ class MechSystem:
             ne, nq = vgrad.shape[0], vgrad.shape[1]
             stress, _, _ = model.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
-                state_beg.reshape(ne * nq, -1), compute_tangent=False)
+                state_beg.reshape(ne * nq, -1), compute_tangent=False,
+                nsub=nsub)
             force = ops.residual_force(el_x, self.dshape, self.qwts,
                                        constrain_e(stress.reshape(ne, nq, 6)))
             force = force * self.elem_mask[:, None, None]
             r = scatter_add(force).reshape(-1)
             return jnp.where(ess_mask.reshape(-1), 0.0, r)
 
-        self._residual_only = jax.jit(residual_only)
+        self._residual_only = jax.jit(residual_only, static_argnums=(5,))
+
+        def max_deff(v, x_beg, dt):
+            el_x = gather(x_beg + dt * v)
+            el_v = gather(v)
+            J = jacobians(el_x, self.dshape)
+            vgrad = grad_calc(el_v, self.dshape, J)
+            d = 0.5 * (vgrad + jnp.swapaxes(vgrad, -1, -2))
+            d = d - (jnp.trace(d, axis1=-2, axis2=-1) / 3.0)[..., None, None] \
+                * jnp.eye(3)
+            deff = jnp.sqrt(2.0 / 3.0 * jnp.sum(d * d, axis=(-2, -1)))
+            return jnp.max(deff * self.elem_mask[:, None])
+
+        self._max_deff = jax.jit(max_deff)
 
         def grad_matvec(k_data, x_flat, ess_mask_flat):
             """y = K x with essential-dof identity rows/cols."""
@@ -329,8 +344,9 @@ class MechSystem:
         """
         opt = self.opt
         ess_flat = jnp.asarray(ess_mask.reshape(-1))
+        nsub = self.compute_nsub(v, x_beg, dt)
         r, k_data, diag, stress, state_end = self._setup(
-            v, x_beg, state, dt, ess_flat, True)
+            v, x_beg, state, dt, ess_flat, True, nsub)
         norm = float(jnp.linalg.norm(r))
         norm0 = norm
         norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
@@ -353,10 +369,11 @@ class MechSystem:
             q1 = norm
 
             def quad_ls():
-                r3 = self._residual_only(v - c, x_beg, state, dt, ess_flat)
+                r3 = self._residual_only(v - c, x_beg, state, dt, ess_flat,
+                                         nsub)
                 q3 = float(jnp.linalg.norm(r3))
                 r2 = self._residual_only(v - 0.5 * c, x_beg, state, dt,
-                                         ess_flat)
+                                         ess_flat, nsub)
                 q2 = float(jnp.linalg.norm(r2))
                 denom = q1 - 2.0 * q2 + q3
                 eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom) \
@@ -370,17 +387,19 @@ class MechSystem:
             if always_ls:
                 scale = quad_ls()
                 v_new = v - scale * c
-                out = self._setup(v_new, x_beg, state, dt, ess_flat, True)
+                out = self._setup(v_new, x_beg, state, dt, ess_flat, True,
+                                  nsub)
             else:
                 v_new = v - c
-                out = self._setup(v_new, x_beg, state, dt, ess_flat, True)
+                out = self._setup(v_new, x_beg, state, dt, ess_flat, True,
+                                  nsub)
                 q_full = float(jnp.linalg.norm(out[0]))
                 if not np.isfinite(q_full) or q_full > 0.5 * q1:
                     scale = quad_ls()
                     if scale != 1.0:
                         v_new = v - scale * c
                         out = self._setup(v_new, x_beg, state, dt, ess_flat,
-                                          True)
+                                          True, nsub)
 
             v = v_new
             r, k_data, diag, stress, state_end = out
@@ -388,6 +407,19 @@ class MechSystem:
             it += 1
 
         return v, stress, state_end, converged, it, norm
+
+    def compute_nsub(self, v, x_beg, dt):
+        """Per-time-step static substep count for the material update.
+
+        Computed once from the initial velocity iterate so the Newton loop
+        sees a smooth residual (an iterate-dependent substep count puts a
+        discontinuity noise floor under the outer solve)."""
+        cap = self.model.evptn.substep_deff_cap
+        if cap <= 0.0:
+            return 1
+        md = float(self._max_deff(v, x_beg, dt))
+        return int(np.clip(np.ceil(md * dt / cap), 1,
+                           self.model.evptn.max_substeps))
 
     # -- BC-change corrector (SystemDriver::SolveInit) ----------------------
     def solve_init(self, v_prev, v_new, x_beg, state, dt, ess_mask):
@@ -498,6 +530,9 @@ class Simulation:
         self.cur_bcs = self.bc_steps[1]
 
         self.step_times = []
+        self.vis_entries = []
+        self.visualize = (opt.visit or opt.conduit or opt.paraview
+                          or opt.adios2)
 
     # -- UpdateVelocity (system_driver.cpp:327-427) -------------------------
     def update_velocity(self):
@@ -648,6 +683,9 @@ class Simulation:
                     ti % self.opt.checkpoint_steps == 0:
                 from .io.checkpoint import save_checkpoint
                 save_checkpoint(ckpt_path, self, t, ti)
+            if self.visualize and (last or ti % self.opt.vis_steps == 0):
+                from .io.postprocess import write_vis_step
+                write_vis_step(self, ti, t, self.vis_entries)
             if verbose:
                 print(f"step {ti} done, t = {t:.6g} "
                       f"({self.step_times[-1]:.2f}s)")

@@ -108,7 +108,8 @@ class ECMechModel:
         return s
 
     # -- the model evaluation ----------------------------------------------
-    def model_setup(self, dt, vgrad, state_beg, compute_tangent=True):
+    def model_setup(self, dt, vgrad, state_beg, compute_tangent=True,
+                    nsub=1):
         """Constitutive update for a flat batch of points.
 
         vgrad: (npts, 3, 3) velocity gradient L_ij = dv_i/dx_j
@@ -129,7 +130,7 @@ class ECMechModel:
 
         out = batched_update(self.evptn, dt, d_vecd, w_vec, v0, v1, e_int,
                              e_n, q_n, h_n, self.temp_k,
-                             compute_tangent=compute_tangent)
+                             compute_tangent=compute_tangent, nsub=nsub)
 
         # stress: sample-frame Cauchy deviator + mean
         s_dev = tn.vecd_to_svec(out["s_vecd_sm"])

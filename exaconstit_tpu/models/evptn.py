@@ -82,6 +82,12 @@ class EvptnModel:
     # time-integration weight for the plastic-flow term in the elastic
     # strain update: 1.0 = backward Euler, 0.5 = trapezoidal
     flow_theta: float = 1.0
+    # a-priori sub-incrementation of the point update (staggered mode):
+    # number of substeps = ceil(Deff*dt / substep_deff_cap), capped at
+    # max_substeps; 0 disables.  Limits the lagged-hardness error at
+    # large time steps.
+    substep_deff_cap: float = 0.0
+    max_substeps: int = 10
 
     @property
     def nslip(self):
@@ -246,39 +252,63 @@ def _solve_point_coupled(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
 
 
 def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
-                           q_n, h_n, temp_k):
-    """ExaCMech-style staggered solve: (e,xi) | h alternation."""
+                           q_n, h_n, temp_k, nsub=1):
+    """ExaCMech-style staggered solve: (e,xi) | h alternation, with
+    optional a-priori sub-incrementation at large effective strain
+    increments.
 
-    e0 = _initial_guess(model, dt, d_vecd_sm, e_n, q_n, h_n)
-    x0 = jnp.concatenate([e0, jnp.zeros(3, dtype=e_n.dtype)])
+    ``nsub`` must be a static (per-time-step) integer: making it depend on
+    the current iterate's rates creates residual discontinuities that put
+    a noise floor under the outer FEM Newton.
+    """
+    dtype = e_n.dtype
+    dt_sub = dt / nsub
 
-    def solve_exi(h):
-        def rj(x):
-            return _residual_and_jac(model, x, h, dt, d_vecd_sm, w_vec_sm,
-                                     e_n, q_n, temp_k)
+    def one_substep(e_c, q_c, h_c):
+        e0 = _initial_guess(model, dt_sub, d_vecd_sm, e_c, q_c, h_c)
+        x0 = jnp.concatenate([e0, jnp.zeros(3, dtype=dtype)])
 
-        return dogleg_solve(rj, x0, tol=model.solver_tol,
-                            max_iter=model.solver_max_iter)
+        def solve_exi(h):
+            def rj(x):
+                return _residual_and_jac(model, x, h, dt_sub, d_vecd_sm,
+                                         w_vec_sm, e_c, q_c, temp_k)
 
-    def stagger_body(_, carry):
-        x, h_used, h, iters_total, converged = carry
-        h_used = h
-        x, ok, iters, _ = solve_exi(h)
-        gd = _gdots_of(model, x, h, temp_k)
-        h = model.kinetics.update_h(h_n, gd, dt, temp_k)
-        return (x, h_used, h, iters_total + iters,
-                jnp.logical_and(converged, ok))
+            return dogleg_solve(rj, x0, tol=model.solver_tol,
+                                max_iter=model.solver_max_iter)
 
-    # fori_loop so the dogleg graph is traced/compiled once, not per pass
-    x, h_used, h, iters_total, converged = jax.lax.fori_loop(
-        0, model.stagger_iters,
-        stagger_body,
-        (x0, h_n, h_n, jnp.asarray(0), jnp.asarray(True)))
-    return x, h, h_used, iters_total, converged
+        def stag_body(_, carry):
+            x, h_used, h, it_tot, conv = carry
+            h_used = h
+            x, ok, iters, _ = solve_exi(h)
+            gd = _gdots_of(model, x, h, temp_k)
+            h = model.kinetics.update_h(h_c, gd, dt_sub, temp_k)
+            return (x, h_used, h, it_tot + iters,
+                    jnp.logical_and(conv, ok))
+
+        x, h_used, h_new, its, conv = jax.lax.fori_loop(
+            0, model.stagger_iters, stag_body,
+            (x0, h_c, h_c, jnp.asarray(0), jnp.asarray(True)))
+        e_new = x[:5]
+        q_new = tn.normalize_quat(
+            tn.quat_multiply(q_c, tn.expmap_to_quat(x[5:])))
+        return e_new, q_new, h_new, h_used, its, conv
+
+    def sub_body(i, carry):
+        e, q, h, h_used, its, conv = carry
+        e, q, h, hu2, it2, c2 = one_substep(e, q, h)
+        return (e, q, h, hu2, its + it2, jnp.logical_and(conv, c2))
+
+    e, q, h, h_used, its, conv = jax.lax.fori_loop(
+        0, nsub, sub_body,
+        (e_n, q_n, h_n, h_n, jnp.asarray(0), jnp.asarray(True)))
+    xi_total = tn.quat_to_expmap(
+        tn.quat_multiply(tn.quat_conjugate(q_n), q))
+    x = jnp.concatenate([e, xi_total])
+    return x, h, h_used, its, conv
 
 
 def _solve_point(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
-                 temp_k):
+                 temp_k, nsub=1):
     """Returns (x, h_end, h_used, iters, converged) where h_used is the
     hardness the (e, xi) system was solved against (= h_end for the
     coupled mode; the lagged value for the staggered mode)."""
@@ -286,11 +316,11 @@ def _solve_point(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
         return _solve_point_coupled(model, dt, d_vecd_sm, w_vec_sm, e_n,
                                     q_n, h_n, temp_k)
     return _solve_point_staggered(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n,
-                                  h_n, temp_k)
+                                  h_n, temp_k, nsub=nsub)
 
 
 def point_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1, e_int_n,
-                 e_n, q_n, h_n, temp_k, compute_tangent=True):
+                 e_n, q_n, h_n, temp_k, compute_tangent=True, nsub=1):
     """Full constitutive update at one point (vmap over points).
 
     Inputs are the kernel_setup quantities of the reference wrapper
@@ -301,7 +331,7 @@ def point_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1, e_int_n,
     """
     x, h_end, h_used, iters, ok = _solve_point(model, dt, d_vecd_sm,
                                                w_vec_sm, e_n, q_n, h_n,
-                                               temp_k)
+                                               temp_k, nsub=nsub)
     e_end = x[:5]
     xi = x[5:]
     q_end = tn.normalize_quat(tn.quat_multiply(q_n, tn.expmap_to_quat(xi)))
@@ -418,9 +448,11 @@ def _consistent_tangent(model, x_sol, h_sol, h_n, dt, d_vecd_sm, w_vec_sm,
 
 
 def batched_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1,
-                   e_int_n, e_n, q_n, h_n, temp_k, compute_tangent=True):
+                   e_int_n, e_n, q_n, h_n, temp_k, compute_tangent=True,
+                   nsub=1):
     """vmap of point_update over a flat batch of points."""
-    fn = partial(point_update, model, compute_tangent=compute_tangent)
+    fn = partial(point_update, model, compute_tangent=compute_tangent,
+                 nsub=nsub)
     return jax.vmap(
         lambda a, b, c, d2, e, f, g, h2: fn(dt, a, b, c, d2, e, f, g, h2,
                                             temp_k)

@@ -212,6 +212,20 @@ def normalize_quat(q):
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
+def quat_conjugate(q):
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_to_expmap(q):
+    """Inverse of expmap_to_quat (rotation log map), NaN-safe at identity."""
+    qv2 = jnp.sum(q[..., 1:] * q[..., 1:], axis=-1)
+    big = qv2 > 1e-28
+    qv_norm = jnp.sqrt(jnp.where(big, qv2, 1.0))
+    ang = 2.0 * jnp.arctan2(qv_norm, q[..., 0])
+    fac = jnp.where(big, ang / qv_norm, 2.0 / jnp.maximum(q[..., 0], 1e-300))
+    return q[..., 1:] * fac[..., None]
+
+
 def rmat_to_vecd_rot(r):
     """5x5 rotation acting on vecd components: vecd(R A R^T) = Q5 @ vecd(A)."""
     basis = jnp.asarray(BASIS_DEV)
