@@ -187,8 +187,7 @@ class MechSystem:
         self._gather = gather
         self._scatter_add = scatter_add
 
-        def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords,
-                     nsub=1):
+        def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords):
             """Residual + gradient data + diagonal at velocity iterate v."""
             x_end = x_beg + dt * v if advance_coords else x_beg
             el_x = gather(x_end)
@@ -198,7 +197,7 @@ class MechSystem:
             ne, nq = vgrad.shape[0], vgrad.shape[1]
             stress, state_end, c6 = model.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
-                state_beg.reshape(ne * nq, -1), nsub=nsub)
+                state_beg.reshape(ne * nq, -1))
             stress_q = constrain_e(stress.reshape(ne, nq, 6))
             c6_q = constrain_e(c6.reshape(ne, nq, 6, 6))
             force = ops.residual_force(el_x, self.dshape, self.qwts, stress_q)
@@ -222,9 +221,9 @@ class MechSystem:
             diag = jnp.where(ess_mask.reshape(-1), 1.0, diag)
             return r, k_data, diag, stress_q, state_end.reshape(ne, nq, -1)
 
-        self._setup = jax.jit(setup_fn, static_argnums=(5, 6))
+        self._setup = jax.jit(setup_fn, static_argnums=(5,))
 
-        def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub=1):
+        def residual_only(v, x_beg, state_beg, dt, ess_mask):
             x_end = x_beg + dt * v
             el_x = gather(x_end)
             el_v = gather(v)
@@ -233,15 +232,14 @@ class MechSystem:
             ne, nq = vgrad.shape[0], vgrad.shape[1]
             stress, _, _ = model.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
-                state_beg.reshape(ne * nq, -1), compute_tangent=False,
-                nsub=nsub)
+                state_beg.reshape(ne * nq, -1), compute_tangent=False)
             force = ops.residual_force(el_x, self.dshape, self.qwts,
                                        constrain_e(stress.reshape(ne, nq, 6)))
             force = force * self.elem_mask[:, None, None]
             r = scatter_add(force).reshape(-1)
             return jnp.where(ess_mask.reshape(-1), 0.0, r)
 
-        self._residual_only = jax.jit(residual_only, static_argnums=(5,))
+        self._residual_only = jax.jit(residual_only)
 
         def max_deff(v, x_beg, dt):
             el_x = gather(x_beg + dt * v)
@@ -344,9 +342,8 @@ class MechSystem:
         """
         opt = self.opt
         ess_flat = jnp.asarray(ess_mask.reshape(-1))
-        nsub = self.compute_nsub(v, x_beg, dt)
         r, k_data, diag, stress, state_end = self._setup(
-            v, x_beg, state, dt, ess_flat, True, nsub)
+            v, x_beg, state, dt, ess_flat, True)
         norm = float(jnp.linalg.norm(r))
         norm0 = norm
         norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
@@ -369,11 +366,10 @@ class MechSystem:
             q1 = norm
 
             def quad_ls():
-                r3 = self._residual_only(v - c, x_beg, state, dt, ess_flat,
-                                         nsub)
+                r3 = self._residual_only(v - c, x_beg, state, dt, ess_flat)
                 q3 = float(jnp.linalg.norm(r3))
                 r2 = self._residual_only(v - 0.5 * c, x_beg, state, dt,
-                                         ess_flat, nsub)
+                                         ess_flat)
                 q2 = float(jnp.linalg.norm(r2))
                 denom = q1 - 2.0 * q2 + q3
                 eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom) \
@@ -387,19 +383,17 @@ class MechSystem:
             if always_ls:
                 scale = quad_ls()
                 v_new = v - scale * c
-                out = self._setup(v_new, x_beg, state, dt, ess_flat, True,
-                                  nsub)
+                out = self._setup(v_new, x_beg, state, dt, ess_flat, True)
             else:
                 v_new = v - c
-                out = self._setup(v_new, x_beg, state, dt, ess_flat, True,
-                                  nsub)
+                out = self._setup(v_new, x_beg, state, dt, ess_flat, True)
                 q_full = float(jnp.linalg.norm(out[0]))
                 if not np.isfinite(q_full) or q_full > 0.5 * q1:
                     scale = quad_ls()
                     if scale != 1.0:
                         v_new = v - scale * c
                         out = self._setup(v_new, x_beg, state, dt, ess_flat,
-                                          True, nsub)
+                                          True)
 
             v = v_new
             r, k_data, diag, stress, state_end = out
@@ -407,19 +401,6 @@ class MechSystem:
             it += 1
 
         return v, stress, state_end, converged, it, norm
-
-    def compute_nsub(self, v, x_beg, dt):
-        """Per-time-step static substep count for the material update.
-
-        Computed once from the initial velocity iterate so the Newton loop
-        sees a smooth residual (an iterate-dependent substep count puts a
-        discontinuity noise floor under the outer solve)."""
-        cap = self.model.evptn.substep_deff_cap
-        if cap <= 0.0:
-            return 1
-        md = float(self._max_deff(v, x_beg, dt))
-        return int(np.clip(np.ceil(md * dt / cap), 1,
-                           self.model.evptn.max_substeps))
 
     # -- BC-change corrector (SystemDriver::SolveInit) ----------------------
     def solve_init(self, v_prev, v_new, x_beg, state, dt, ess_mask):

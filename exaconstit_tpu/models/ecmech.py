@@ -108,8 +108,7 @@ class ECMechModel:
         return s
 
     # -- the model evaluation ----------------------------------------------
-    def model_setup(self, dt, vgrad, state_beg, compute_tangent=True,
-                    nsub=1):
+    def model_setup(self, dt, vgrad, state_beg, compute_tangent=True):
         """Constitutive update for a flat batch of points.
 
         vgrad: (npts, 3, 3) velocity gradient L_ij = dv_i/dx_j
@@ -127,6 +126,16 @@ class ECMechModel:
         e_n = state_beg[:, self.IND_ESTRAIN:self.IND_ESTRAIN + 5]
         q_n = state_beg[:, self.IND_QUATS:self.IND_QUATS + 4]
         h_n = state_beg[:, self.IND_HARD:self.IND_HARD + self.n_h]
+
+        # per-point substep counts from the PREVIOUS step's effective
+        # plastic shear rate (iterate-independent -> smooth FEM residual)
+        cap = self.evptn.substep_deff_cap
+        if cap > 0.0:
+            shrate_prev = state_beg[:, self.IND_SHRATE]
+            nsub = jnp.clip(jnp.ceil(shrate_prev * dt / cap), 1,
+                            self.evptn.max_substeps).astype(jnp.int32)
+        else:
+            nsub = None
 
         out = batched_update(self.evptn, dt, d_vecd, w_vec, v0, v1, e_int,
                              e_n, q_n, h_n, self.temp_k,

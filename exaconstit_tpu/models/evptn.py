@@ -83,10 +83,14 @@ class EvptnModel:
     # strain update: 1.0 = backward Euler, 0.5 = trapezoidal
     flow_theta: float = 1.0
     # a-priori sub-incrementation of the point update (staggered mode):
-    # number of substeps = ceil(Deff*dt / substep_deff_cap), capped at
-    # max_substeps; 0 disables.  Limits the lagged-hardness error at
-    # large time steps.
-    substep_deff_cap: float = 0.0
+    # substeps = ceil(shrateEff_prev * dt / substep_deff_cap) per point,
+    # capped at max_substeps; 0 disables.  The criterion uses the
+    # PREVIOUS step's effective plastic shear rate (beginning-of-step
+    # state) so it is constant during the outer Newton loop.  Limits the
+    # lagged-hardness error at large time steps.
+    # calibrated against the reference's voce_full golden curve: 1e-4
+    # bounds the stress deviation to ~0.2% across the ramped-dt schedule
+    substep_deff_cap: float = 1e-4
     max_substeps: int = 10
 
     @property
@@ -254,15 +258,18 @@ def _solve_point_coupled(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
 def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
                            q_n, h_n, temp_k, nsub=1):
     """ExaCMech-style staggered solve: (e,xi) | h alternation, with
-    optional a-priori sub-incrementation at large effective strain
+    optional a-priori sub-incrementation at large plastic-shear
     increments.
 
-    ``nsub`` must be a static (per-time-step) integer: making it depend on
-    the current iterate's rates creates residual discontinuities that put
-    a noise floor under the outer FEM Newton.
+    ``nsub`` may be a traced per-point integer, but it MUST NOT depend on
+    the current Newton iterate (it is derived from beginning-of-step state
+    upstream): an iterate-dependent substep count creates residual
+    discontinuities that put a noise floor under the outer FEM Newton.
     """
     dtype = e_n.dtype
-    dt_sub = dt / nsub
+    nsub = jnp.asarray(nsub, jnp.int32)
+    max_sub = model.max_substeps if model.substep_deff_cap > 0.0 else 1
+    dt_sub = dt / nsub.astype(dtype)
 
     def one_substep(e_c, q_c, h_c):
         e0 = _initial_guess(model, dt_sub, d_vecd_sm, e_c, q_c, h_c)
@@ -293,14 +300,23 @@ def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
             tn.quat_multiply(q_c, tn.expmap_to_quat(x[5:])))
         return e_new, q_new, h_new, h_used, its, conv
 
-    def sub_body(i, carry):
-        e, q, h, h_used, its, conv = carry
-        e, q, h, hu2, it2, c2 = one_substep(e, q, h)
-        return (e, q, h, hu2, its + it2, jnp.logical_and(conv, c2))
+    # while_loop (not fori to max_substeps): under vmap this runs only
+    # until every lane has finished its own substep count, so batches whose
+    # max nsub is small don't pay for the static cap.
+    def sub_cond(carry):
+        i = carry[0]
+        return i < jnp.minimum(nsub, max_sub)
 
-    e, q, h, h_used, its, conv = jax.lax.fori_loop(
-        0, nsub, sub_body,
-        (e_n, q_n, h_n, h_n, jnp.asarray(0), jnp.asarray(True)))
+    def sub_body(carry):
+        i, e, q, h, h_used, its, conv = carry
+        e, q, h, hu2, it2, c2 = one_substep(e, q, h)
+        return (i + 1, e, q, h, hu2, its + it2,
+                jnp.logical_and(conv, c2))
+
+    _, e, q, h, h_used, its, conv = jax.lax.while_loop(
+        sub_cond, sub_body,
+        (jnp.asarray(0, jnp.int32), e_n, q_n, h_n, h_n, jnp.asarray(0),
+         jnp.asarray(True)))
     xi_total = tn.quat_to_expmap(
         tn.quat_multiply(tn.quat_conjugate(q_n), q))
     x = jnp.concatenate([e, xi_total])
@@ -449,11 +465,15 @@ def _consistent_tangent(model, x_sol, h_sol, h_n, dt, d_vecd_sm, w_vec_sm,
 
 def batched_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1,
                    e_int_n, e_n, q_n, h_n, temp_k, compute_tangent=True,
-                   nsub=1):
-    """vmap of point_update over a flat batch of points."""
-    fn = partial(point_update, model, compute_tangent=compute_tangent,
-                 nsub=nsub)
+                   nsub=None):
+    """vmap of point_update over a flat batch of points.
+
+    nsub: optional per-point substep counts (int32 array); None -> 1.
+    """
+    fn = partial(point_update, model, compute_tangent=compute_tangent)
+    if nsub is None:
+        nsub = jnp.ones(d_vecd_sm.shape[0], dtype=jnp.int32)
     return jax.vmap(
-        lambda a, b, c, d2, e, f, g, h2: fn(dt, a, b, c, d2, e, f, g, h2,
-                                            temp_k)
-    )(d_vecd_sm, w_vec_sm, v0, v1, e_int_n, e_n, q_n, h_n)
+        lambda a, b, c, d2, e, f, g, h2, ns: fn(dt, a, b, c, d2, e, f, g,
+                                                h2, temp_k, nsub=ns)
+    )(d_vecd_sm, w_vec_sm, v0, v1, e_int_n, e_n, q_n, h_n, nsub)

@@ -53,5 +53,5 @@ def compare_stress(tmp_path, opt, golden, rel_tol, n=None):
 def test_voce_full_regression(tmp_path, case, golden):
     nsteps = None if FULL else 8
     opt, sim = run_case(tmp_path, case, nsteps)
-    compare_stress(tmp_path, opt, golden, rel_tol=1e-4,
+    compare_stress(tmp_path, opt, golden, rel_tol=5e-3,
                    n=None if FULL else nsteps)
