@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config.options import (Assembly, ExaOptions, KrylovSolver, MechType,
-                             NLSolver, OriType, parse_options)
+from .config.options import (Assembly, ExaOptions, IntegrationType,
+                             KrylovSolver, MechType, NLSolver, OriType,
+                             parse_options)
 from .fem import operators as ops
 from .fem.geometry import grad_calc, jacobians
 from .fem.space import FESpace
@@ -133,6 +134,11 @@ class MechSystem:
         self.dshape = jnp.asarray(self.fes.ref.dshape)
         self.qwts = jnp.asarray(self.fes.ref.qwts)
         self.assembly = opt.assembly
+        self.bbar = opt.integ_type == IntegrationType.BBAR
+        if self.bbar:
+            # the reference has no PA gradient for BBar either
+            # (mechanics_integrators.hpp:107-110); EA covers FULL too
+            self.assembly = Assembly.EA
         self.device_mesh = device_mesh
         nn = self.fes.num_nodes
 
@@ -200,11 +206,21 @@ class MechSystem:
                 state_beg.reshape(ne * nq, -1))
             stress_q = constrain_e(stress.reshape(ne, nq, 6))
             c6_q = constrain_e(c6.reshape(ne, nq, 6, 6))
-            force = ops.residual_force(el_x, self.dshape, self.qwts, stress_q)
+            if self.bbar:
+                force = ops.residual_force_bbar(el_x, self.dshape, self.qwts,
+                                                stress_q)
+            else:
+                force = ops.residual_force(el_x, self.dshape, self.qwts,
+                                           stress_q)
             force = force * self.elem_mask[:, None, None]
             r = scatter_add(force).reshape(-1)
             r = jnp.where(ess_mask.reshape(-1), 0.0, r)
-            if self.assembly == Assembly.PA:
+            if self.bbar:
+                k_data = ops.assemble_ea_gradient_bbar(
+                    el_x, self.dshape, self.qwts, c6_q, dt)
+                k_data = k_data * self.elem_mask[:, None, None]
+                dloc = ops.ea_diagonal(k_data, ref.nnodes)
+            elif self.assembly == Assembly.PA:
                 k_data = ops.assemble_pa_gradient(el_x, self.dshape,
                                                   self.qwts, c6_q, dt)
                 k_data = k_data * self.elem_mask[:, None, None, None, None,
@@ -233,8 +249,13 @@ class MechSystem:
             stress, _, _ = model.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
                 state_beg.reshape(ne * nq, -1), compute_tangent=False)
-            force = ops.residual_force(el_x, self.dshape, self.qwts,
-                                       constrain_e(stress.reshape(ne, nq, 6)))
+            stress_q2 = constrain_e(stress.reshape(ne, nq, 6))
+            if self.bbar:
+                force = ops.residual_force_bbar(el_x, self.dshape, self.qwts,
+                                                stress_q2)
+            else:
+                force = ops.residual_force(el_x, self.dshape, self.qwts,
+                                           stress_q2)
             force = force * self.elem_mask[:, None, None]
             r = scatter_add(force).reshape(-1)
             return jnp.where(ess_mask.reshape(-1), 0.0, r)

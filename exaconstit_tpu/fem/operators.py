@@ -97,15 +97,36 @@ def apply_pa_gradient(d_pa, dshape, el_u):
     return jnp.einsum("qas,eqis->eai", dshape, t)
 
 
+def _b_matrices(dndx):
+    """Standard B matrices (ne, nq, 6, nen*3): svec rows, engineering
+    shear, node-major dofs (GenerateGradMatrix convention,
+    mechanics_model.cpp:776-838)."""
+    ne, nq, nen, _ = dndx.shape
+    B = jnp.zeros((ne, nq, 6, nen, 3), dtype=dndx.dtype)
+    dx, dy, dz = dndx[..., 0], dndx[..., 1], dndx[..., 2]
+    B = B.at[:, :, 0, :, 0].set(dx)
+    B = B.at[:, :, 1, :, 1].set(dy)
+    B = B.at[:, :, 2, :, 2].set(dz)
+    B = B.at[:, :, 3, :, 1].set(dz)
+    B = B.at[:, :, 3, :, 2].set(dy)
+    B = B.at[:, :, 4, :, 0].set(dz)
+    B = B.at[:, :, 4, :, 2].set(dx)
+    B = B.at[:, :, 5, :, 0].set(dy)
+    B = B.at[:, :, 5, :, 1].set(dx)
+    return B.reshape(ne, nq, 6, nen * 3)
+
+
 def assemble_ea_gradient(el_x, dshape, qwts, c6, dt):
     """Per-element stiffness matrices (nelems, nen*3, nen*3).
 
     Layout: dof index = a * 3 + i (node-major, component-minor).
+    Built as batched B^T (C dt w) B matmuls — MXU-friendly and avoids the
+    6-index adj*C4*adj intermediates that blow up HBM at production sizes.
     """
-    d_pa = assemble_pa_gradient(el_x, dshape, qwts, c6, dt)
-    k = jnp.einsum("qas,eqiskt,qbt->eaibk", dshape, d_pa, dshape)
-    ne, nen = k.shape[0], k.shape[1]
-    return k.reshape(ne, nen * 3, nen * 3)
+    dndx, wts = _dndx_and_wts(el_x, dshape, qwts)
+    B = _b_matrices(dndx)
+    cb = jnp.einsum("eqij,eqjb->eqib", c6, B)
+    return jnp.einsum("eq,eqia,eqib->eab", wts * dt, B, cb)
 
 
 def apply_ea_gradient(k_ea, el_u):
@@ -136,6 +157,93 @@ def pa_diagonal(el_x, dshape, qwts, c6, dt):
     scale = (qwts[None, :] * dt) / det
     b = jnp.einsum("qar,eqrs->eqas", dshape, adj)  # dN_a/dx_s * detJ
     return jnp.einsum("eq,eqas,eqisit,eqat->eai", scale, b, c4, b)
+
+
+# ----------------------------------------------------------------------------
+# BBar (mean-dilatation) integration, cf. ICExaNLFIntegrator
+# (mechanics_integrators.cpp:1021-2040; B-bar construction
+# ExaModel::GenerateGradBarMatrix, mechanics_model.cpp:840-878).
+# The volumetric part of the B operator is replaced by its element average;
+# the reference has no PA gradient for BBar (falls back), so EA is the
+# gradient backend here as well.
+# ----------------------------------------------------------------------------
+
+def _dndx_and_wts(el_x, dshape, qwts):
+    J = jacobians(el_x, dshape)
+    adj = adjugate_3x3(J)
+    det = det_3x3(J)
+    dndx = jnp.einsum("qas,eqsj->eqaj", dshape, adj) / det[..., None, None]
+    wts = det * qwts[None, :]
+    return dndx, wts
+
+
+def bbar_mean_gradient(el_x, dshape, qwts):
+    """Element-averaged shape gradients eDS (nelems, nen, 3)."""
+    dndx, wts = _dndx_and_wts(el_x, dshape, qwts)
+    vol = jnp.sum(wts, axis=1)
+    return jnp.einsum("eq,eqaj->eaj", wts, dndx) / vol[:, None, None]
+
+
+def residual_force_bbar(el_x, dshape, qwts, stress_svec):
+    """Internal forces with the B-bar operator:
+    f[a,i] = sum_q w detJ [ dN_a/dx_j sig_ji
+                            + (eDS_ai - DS_ai)/3 tr(sig) ]."""
+    dndx, wts = _dndx_and_wts(el_x, dshape, qwts)
+    vol = jnp.sum(wts, axis=1)
+    eds = jnp.einsum("eq,eqaj->eaj", wts, dndx) / vol[:, None, None]
+    sig = svec_to_mat33(stress_svec)
+    f_std = jnp.einsum("eq,eqaj,eqji->eai", wts, dndx, sig)
+    tr = stress_svec[..., 0] + stress_svec[..., 1] + stress_svec[..., 2]
+    dcorr = eds[:, None] - dndx  # (ne, nq, nen, 3)
+    f_cor = jnp.einsum("eq,eq,eqai->eai", wts, tr / 3.0, dcorr)
+    return f_std + f_cor
+
+
+def _bbar_matrices(dndx, eds):
+    """B-bar matrices (ne, nq, 6, nen*3), svec rows w/ engineering shear,
+    dofs node-major."""
+    ne, nq, nen, _ = dndx.shape
+    b1 = (eds[:, None] - dndx) / 3.0  # (ne, nq, nen, 3)
+    B = jnp.zeros((ne, nq, 6, nen, 3), dtype=dndx.dtype)
+    dx, dy, dz = dndx[..., 0], dndx[..., 1], dndx[..., 2]
+    c0, c1, c2 = b1[..., 0], b1[..., 1], b1[..., 2]
+    B = B.at[:, :, 0, :, 0].set(dx + c0)
+    B = B.at[:, :, 0, :, 1].set(c1)
+    B = B.at[:, :, 0, :, 2].set(c2)
+    B = B.at[:, :, 1, :, 0].set(c0)
+    B = B.at[:, :, 1, :, 1].set(dy + c1)
+    B = B.at[:, :, 1, :, 2].set(c2)
+    B = B.at[:, :, 2, :, 0].set(c0)
+    B = B.at[:, :, 2, :, 1].set(c1)
+    B = B.at[:, :, 2, :, 2].set(dz + c2)
+    B = B.at[:, :, 3, :, 1].set(dz)
+    B = B.at[:, :, 3, :, 2].set(dy)
+    B = B.at[:, :, 4, :, 0].set(dz)
+    B = B.at[:, :, 4, :, 2].set(dx)
+    B = B.at[:, :, 5, :, 0].set(dy)
+    B = B.at[:, :, 5, :, 1].set(dx)
+    return B.reshape(ne, nq, 6, nen * 3)
+
+
+def assemble_ea_gradient_bbar(el_x, dshape, qwts, c6, dt):
+    """Per-element B-bar stiffness (nelems, nen*3, nen*3)."""
+    dndx, wts = _dndx_and_wts(el_x, dshape, qwts)
+    vol = jnp.sum(wts, axis=1)
+    eds = jnp.einsum("eq,eqaj->eaj", wts, dndx) / vol[:, None, None]
+    B = _bbar_matrices(dndx, eds)
+    cb = jnp.einsum("eqij,eqjb->eqib", c6, B)
+    return jnp.einsum("eq,eqia,eqib->eab", wts * dt, B, cb)
+
+
+def bbar_vgrad_correction(el_v, dndx, wts):
+    """Mean-dilatation velocity gradient: replace the volumetric part of
+    L at each qpt by the element average (for the material update)."""
+    L = jnp.einsum("enk,eqnj->eqkj", el_v, dndx)
+    tr_q = jnp.trace(L, axis1=-2, axis2=-1)
+    vol = jnp.sum(wts, axis=1)
+    tr_avg = jnp.einsum("eq,eq->e", wts, tr_q) / vol
+    corr = (tr_avg[:, None] - tr_q) / 3.0
+    return L + corr[..., None, None] * jnp.eye(3, dtype=L.dtype)
 
 
 def element_volumes(el_x, dshape, qwts):

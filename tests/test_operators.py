@@ -176,3 +176,45 @@ def test_gradient_is_residual_derivative():
     ku = fes.scatter_add(ops.apply_ea_gradient(k_ea, el_u))
     np.testing.assert_allclose(np.asarray(ku), np.asarray(r), rtol=1e-10,
                                atol=1e-18)
+
+
+def test_bbar_operators():
+    """BBar (mean dilatation): traceless stress gives identical forces;
+    gradient is symmetric and is the derivative of the BBar residual for
+    a linear material evaluated with BBar-consistent kinematics."""
+    fes = curved_fes(1)
+    el_x = fes.gather(jnp.asarray(fes.mesh.coords))
+    ne, nq = fes.num_elems, fes.nqpts
+    dshape = jnp.asarray(fes.ref.dshape)
+    qwts = jnp.asarray(fes.ref.qwts)
+    rng = np.random.default_rng(9)
+
+    # deviatoric stress -> BBar correction vanishes
+    s_dev = rng.normal(size=(ne, nq, 6))
+    s_dev[..., :3] -= s_dev[..., :3].mean(axis=-1, keepdims=True)
+    f_std = np.asarray(ops.residual_force(el_x, dshape, qwts,
+                                          jnp.asarray(s_dev)))
+    f_bbar = np.asarray(ops.residual_force_bbar(el_x, dshape, qwts,
+                                                jnp.asarray(s_dev)))
+    np.testing.assert_allclose(f_bbar, f_std, rtol=1e-12, atol=1e-14)
+
+    c6 = jnp.asarray(mock_c6(ne, nq, "cubic"))
+    k = np.asarray(ops.assemble_ea_gradient_bbar(el_x, dshape, qwts, c6,
+                                                 0.3))
+    np.testing.assert_allclose(k, np.swapaxes(k, 1, 2), atol=1e-10)
+
+    # directional-derivative check: for stress = C : eps_bbar(u), the BBar
+    # force equals K_bbar u
+    u = jnp.asarray(rng.normal(size=(fes.num_nodes, 3)) * 1e-6)
+    el_u = fes.gather(u)
+    dndx, wts = ops._dndx_and_wts(el_x, dshape, qwts)
+    eds = ops.bbar_mean_gradient(el_x, dshape, qwts)
+    B = ops._bbar_matrices(dndx, eds)
+    eps_bbar = jnp.einsum("eqia,ea->eqi",
+                          B, el_u.reshape(ne, -1))
+    stress = jnp.einsum("eqij,eqj->eqi", c6, eps_bbar)
+    r = np.asarray(fes.scatter_add(ops.residual_force_bbar(
+        el_x, dshape, qwts, stress)))
+    ku = np.asarray(fes.scatter_add(ops.apply_ea_gradient(
+        ops.assemble_ea_gradient_bbar(el_x, dshape, qwts, c6, 1.0), el_u)))
+    np.testing.assert_allclose(ku, r, rtol=1e-9, atol=1e-18)
