@@ -27,22 +27,30 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _tiny_problem
 
-    # ~13.8k elements -> 110k quadrature points per step
-    system, v0, x0, state, ess_flat = _tiny_problem([24, 24, 24])
+    # 4k elements -> 33k quadrature points per step
+    system, v0, x0, state, ess_flat = _tiny_problem([16, 16, 16])
     nqpts_total = system.ne_pad * system.fes.nqpts
 
     step = system.make_jit_step(newton_iters=2)
     evals_per_step = 3 * nqpts_total  # setup runs 3x per jit_step
 
-    # compile + warmup
-    out = step(v0, x0, state, 0.005, ess_flat)
+    # compile + develop plastic flow so the measurement reflects production
+    # conditions (the material solve is iteration-bound in the flow regime).
+    # dt ramps so no single device execution exceeds the ~60s axon watchdog.
+    v, x, st = v0, x0, state
+    for dt in (0.005, 0.01, 0.02, 0.05):
+        v, x, _, st, _ = step(v, x, st, dt, ess_flat)
+        jax.block_until_ready(st)
+    dt = 0.05
+    v0, x0, state = v, x, st
+    out = step(v0, x0, state, dt, ess_flat)
     jax.block_until_ready(out)
 
     # measure steady state
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = step(v0, x0, state, 0.005, ess_flat)
+        out = step(v0, x0, state, dt, ess_flat)
         jax.block_until_ready(out)
     dt_s = (time.perf_counter() - t0) / reps
 

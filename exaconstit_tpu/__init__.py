@@ -29,7 +29,13 @@ import os
 # throughput benchmarks (see exaconstit_tpu.config).
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# f64 reproduces the reference's numerics (TPU f64 is emulated but exact
+# enough for the 1e-5-relative golden parity).  Setting
+# EXACONSTIT_TPU_PRECISION=f32 switches the whole stack to native f32 for
+# throughput runs; solver tolerances must be relaxed accordingly
+# (material dogleg ~1e-6, Newton rel ~1e-4).
+if os.environ.get("EXACONSTIT_TPU_PRECISION", "f64").lower() != "f32":
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the implicit material solve compiles to a
 # large XLA program; caching makes repeated runs (tests, driver restarts)

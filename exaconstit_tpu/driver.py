@@ -601,7 +601,11 @@ class Simulation:
 
         self.v = v
         self.x_cur = self.x_beg + dt * v
-        # UpdateModel: swap begin <- end (system_driver.cpp:429-443)
+        # UpdateModel: swap begin <- end (system_driver.cpp:429-443).
+        # state_prev mirrors the post-swap matVars1, which the reference's
+        # calcDpMat reads -- so its Dp output lags one step
+        # (system_driver.cpp:525 after the :441 swap).
+        self.state_prev = self.state
         self.stress = stress
         self.state = state_end
         self.x_beg = self.x_cur
@@ -642,7 +646,8 @@ class Simulation:
                               " ".join(f"{v:.6g}" for v in favg) + "\n")
             if opt.mech_type == MechType.EXACMECH:
                 ne, nq = self.state.shape[0], self.state.shape[1]
-                dp = self.model.dp_mat(self.state.reshape(ne * nq, nsv))
+                state_dp = getattr(self, "state_prev", self.state)
+                dp = self.model.dp_mat(state_dp.reshape(ne * nq, nsv))
                 dp = dp.reshape(ne, nq, 3, 3)
                 dpavg9 = np.asarray(sysm._vol_avg(
                     jnp.stack([dp[..., i, j] for j in range(3)

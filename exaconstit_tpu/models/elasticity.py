@@ -27,7 +27,9 @@ class Elasticity:
     def stress_vecd(self, e_vecd):
         import jax.numpy as jnp
 
-        return jnp.einsum("ij,...j->...i", jnp.asarray(self.C_dev), e_vecd)
+        return jnp.einsum("ij,...j->...i",
+                          jnp.asarray(self.C_dev, dtype=e_vecd.dtype),
+                          e_vecd)
 
 
 def cubic(c11: float, c12: float, c44: float) -> Elasticity:

@@ -53,9 +53,11 @@ class VocePL:
         # (after rho0, cvav, tol, c11, c12, c44)
         p = np.asarray(props, dtype=float)
         if nonlinear:
-            (mu, xm, gdot0, h0, g0, gs0, expo, xms, gam_s, hdn) = p[6:16]
+            (mu, xm, gdot0, h0, g0, gs0, expo, xms, gam_s, hdn) = \
+                (float(v) for v in p[6:16])
         else:
-            (mu, xm, gdot0, h0, g0, gs0, xms, gam_s, hdn) = p[6:15]
+            (mu, xm, gdot0, h0, g0, gs0, xms, gam_s, hdn) = \
+                (float(v) for v in p[6:15])
             expo = 1.0
         return cls(mu=mu, xm=xm, gdot0=gdot0, h0=h0, g0=g0, gs0=gs0,
                    xms=xms, gam_s=gam_s, hdn_init=hdn, voce_exponent=expo)

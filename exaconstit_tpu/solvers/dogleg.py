@@ -21,11 +21,11 @@ from .linalg_small import solve_dense
 
 
 def dogleg_solve(resid_jac_fn, x0, tol=1e-10, max_iter=100, delta_init=1.0,
-                 delta_min=1e-12, delta_max=1e4):
+                 delta_min=1e-12, delta_max=1e4, return_jac=False):
     """Solve R(x) = 0 for one point; vmap for batches.
 
     resid_jac_fn: x -> (r, J) with r: (n,), J: (n, n)
-    Returns (x, converged(bool), num_iters, final_norm).
+    Returns (x, converged(bool), num_iters, final_norm[, J_final]).
     """
     n = x0.shape[0]
 
@@ -104,4 +104,6 @@ def dogleg_solve(resid_jac_fn, x0, tol=1e-10, max_iter=100, delta_init=1.0,
     x, r, J, delta, it, done = jax.lax.while_loop(
         cond, body, (x0, r0, J0, jnp.asarray(delta_init, x0.dtype),
                      jnp.asarray(0), done0))
+    if return_jac:
+        return x, done, it, norm(r), J
     return x, done, it, norm(r)

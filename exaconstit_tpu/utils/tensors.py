@@ -21,14 +21,15 @@ All functions operate on the trailing axis and broadcast over leading axes.
 import jax.numpy as jnp
 import numpy as np
 
-SQRT2 = np.sqrt(2.0)
-SQRT3 = np.sqrt(3.0)
-SQRT6 = np.sqrt(6.0)
+# python floats (NOT np scalars) so f32 arrays don't get promoted to f64
+SQRT2 = float(np.sqrt(2.0))
+SQRT3 = float(np.sqrt(3.0))
+SQRT6 = float(np.sqrt(6.0))
 SQR2I = 1.0 / SQRT2
 SQR3I = 1.0 / SQRT3
 SQR6I = 1.0 / SQRT6
-SQR2B3 = np.sqrt(2.0 / 3.0)
-SQR3B2 = np.sqrt(1.5)
+SQR2B3 = float(np.sqrt(2.0 / 3.0))
+SQR3B2 = float(np.sqrt(1.5))
 
 # Orthonormal basis (w.r.t. A:B) for symmetric deviatoric 3x3 tensors, in the
 # vecd component order documented above: vecd_k(A) = BASIS_DEV[k] : A.
@@ -46,12 +47,14 @@ BASIS_DEV = _B  # (5, 3, 3), numpy
 
 def mat_to_vecd(a):
     """Deviatoric 5-vector of a (possibly non-deviatoric) symmetric tensor."""
-    return jnp.einsum("kij,...ij->...k", BASIS_DEV, a)
+    return jnp.einsum("kij,...ij->...k",
+                      jnp.asarray(BASIS_DEV, dtype=a.dtype), a)
 
 
 def vecd_to_mat(t):
     """Symmetric deviatoric 3x3 tensor from its 5-vector."""
-    return jnp.einsum("kij,...k->...ij", BASIS_DEV, t)
+    return jnp.einsum("kij,...k->...ij",
+                      jnp.asarray(BASIS_DEV, dtype=t.dtype), t)
 
 
 def svec_to_vecd(s):
@@ -228,14 +231,14 @@ def quat_to_expmap(q):
 
 def rmat_to_vecd_rot(r):
     """5x5 rotation acting on vecd components: vecd(R A R^T) = Q5 @ vecd(A)."""
-    basis = jnp.asarray(BASIS_DEV)
+    basis = jnp.asarray(BASIS_DEV, dtype=r.dtype)
     rb = jnp.einsum("...im,kmn,...jn->...kij", r, basis, r)
     return jnp.einsum("lij,...kij->...lk", basis, rb)
 
 
 def rotate_vecd(r, t):
     """vecd components of R A R^T given vecd(A)."""
-    basis = jnp.asarray(BASIS_DEV)
+    basis = jnp.asarray(BASIS_DEV, dtype=t.dtype)
     a = jnp.einsum("kij,...k->...ij", basis, t)
     ra = jnp.einsum("...im,...mn,...jn->...ij", r, a, r)
     return jnp.einsum("kij,...ij->...k", basis, ra)
