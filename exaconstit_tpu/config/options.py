@@ -164,6 +164,9 @@ class ExaOptions:
     mech_type: MechType = MechType.NOTYPE
     xtal_type: XtalType = XtalType.NOTYPE
     slip_type: SlipType = SlipType.NOTYPE
+    # UMAT user-material shared library (TPU-native extension: the
+    # reference links the Fortran UMAT at build time instead)
+    umat_library: str = ""
 
     # --- Time ---
     dt_cust: bool = False
@@ -391,6 +394,9 @@ def _parse_model(opt: ExaOptions, data: dict):
     else:
         _abort("Model.mech_type was not provided a valid type.")
     opt.cp = bool(table.get("cp", opt.cp))
+    if opt.mech_type == MechType.UMAT:
+        sub = table.get("UMAT", {})
+        opt.umat_library = sub.get("library", "")
     if opt.mech_type == MechType.EXACMECH:
         sub = table.get("ExaCMech", None)
         if sub is None:

@@ -451,7 +451,11 @@ class Simulation:
 
         # ---- mesh (mechanics_driver.cpp:236-317) ----
         if opt.mesh_type.value == "auto":
-            gmap = np.loadtxt(opt.abspath(opt.grain_map)).reshape(-1)
+            gpath = opt.abspath(opt.grain_map)
+            if opt.cp and os.path.exists(gpath):
+                gmap = np.loadtxt(gpath).reshape(-1)
+            else:
+                gmap = None
             self.mesh = make_cartesian_mesh(
                 opt.nxyz, opt.mxyz, order=opt.order, grain_map=gmap,
                 ref_levels=opt.ser_ref_levels + opt.par_ref_levels)
@@ -464,28 +468,36 @@ class Simulation:
         props = np.loadtxt(opt.abspath(opt.props_file)).reshape(-1)
         assert props.size == opt.nProps
         self.props = props
-        self.model = build_model(opt, props)
+        if opt.mech_type == MechType.UMAT:
+            from .models.umat import UmatLibrary, UmatModel
+            self.model = UmatModel(lib=UmatLibrary(opt.abspath(
+                opt.umat_library)), props=props,
+                num_user_state=opt.numStateVars, temp_k=opt.temp_k)
+        else:
+            self.model = build_model(opt, props)
         self.system = MechSystem(opt, self.mesh, self.model,
                                  device_mesh=device_mesh)
         fes = self.system.fes
-
-        # ---- orientations -> per-element quats ----
-        ori = np.loadtxt(opt.abspath(opt.ori_file)).reshape(-1)
-        if opt.ori_type == OriType.QUAT:
-            quats = ori.reshape(opt.ngrains, 4)
-            # normalize (reference files are unit but be safe)
-            quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)
-        elif opt.ori_type == OriType.EULER:
-            quats = _euler_to_quat(ori.reshape(opt.ngrains, 3))
-        else:
-            raise NotImplementedError("custom orientation stride")
-        grain_ids = self.mesh.elem_attr.astype(int) - 1
-        elem_quats = quats[grain_ids]  # (nelems, 4)
         nq = fes.nqpts
-        pt_quats = np.repeat(elem_quats, nq, axis=0)
 
-        # ---- state init ----
-        state0 = self.model.init_state(pt_quats)
+        if opt.mech_type == MechType.UMAT:
+            state0 = self.model.init_state(
+                npts=fes.num_elems * nq)
+        else:
+            # ---- orientations -> per-element quats ----
+            ori = np.loadtxt(opt.abspath(opt.ori_file)).reshape(-1)
+            if opt.ori_type == OriType.QUAT:
+                quats = ori.reshape(opt.ngrains, 4)
+                # normalize (reference files are unit but be safe)
+                quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)
+            elif opt.ori_type == OriType.EULER:
+                quats = _euler_to_quat(ori.reshape(opt.ngrains, 3))
+            else:
+                raise NotImplementedError("custom orientation stride")
+            grain_ids = self.mesh.elem_attr.astype(int) - 1
+            elem_quats = quats[grain_ids]  # (nelems, 4)
+            pt_quats = np.repeat(elem_quats, nq, axis=0)
+            state0 = self.model.init_state(pt_quats)
         # apply non-zero entries of the state-vars file where the model's
         # own initialization leaves defaults (reference: setStateVarData
         # merges the file with ExaCMech's histInit; all test files are 0)
