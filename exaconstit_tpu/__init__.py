@@ -37,6 +37,10 @@ import jax
 if os.environ.get("EXACONSTIT_TPU_PRECISION", "f64").lower() != "f32":
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls on f32 inputs default to bf16 MXU passes, which destroys the
+# implicit material solver's convergence; force true-f32 contractions.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: the implicit material solve compiles to a
 # large XLA program; caching makes repeated runs (tests, driver restarts)
 # skip recompilation.

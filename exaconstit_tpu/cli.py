@@ -26,10 +26,12 @@ def main(argv=None):
     sim = run_simulation(args.opt, verbose=not args.quiet)
     elapsed = time.time() - start
     print(f"The process took {elapsed:f} seconds to run")
-    # per-step solve timing log (mechanics_driver.cpp:982-998)
+    # per-step solve timing log (mechanics_driver.cpp:982-998).
+    # NOTE: written under timing/ (not the reference's time/) because a
+    # time/ directory on sys.path would shadow the stdlib time module.
     import os
-    os.makedirs("time", exist_ok=True)
-    with open("time/time_solve.0.txt", "a") as f:
+    os.makedirs("timing", exist_ok=True)
+    with open("timing/time_solve.0.txt", "a") as f:
         for dt in sim.step_times:
             f.write(f"{dt:.8g}\n")
     return 0

@@ -25,8 +25,17 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-_TINY = 1e-280
-_MAX_LOG_GDOT = 80.0  # exp cap keeps ||R||^2 finite during globalization
+_TINY = 1e-280  # f64 guard; use _tiny(x) for dtype-aware code paths
+
+
+def _tiny(x):
+    return float(jnp.finfo(x.dtype).tiny)
+
+
+def _max_log_gdot(x):
+    # exp cap keeps ||R||^2 finite during trust-region globalization;
+    # f32 needs a much lower cap (exp(80)^2 overflows f32 -> NaN rho)
+    return 80.0 if x.dtype == jnp.float64 else 25.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,8 +88,9 @@ class VocePL:
         big = ratio > 1e-10
         ratio_safe = jnp.where(big, ratio, 1.0)
         log_gdot = xn * jnp.log(ratio_safe)
-        capped = jnp.minimum(log_gdot, _MAX_LOG_GDOT)
-        over = jnp.maximum(log_gdot - _MAX_LOG_GDOT, 0.0)
+        cap = _max_log_gdot(taus)
+        capped = jnp.minimum(log_gdot, cap)
+        over = jnp.maximum(log_gdot - cap, 0.0)
         gd = jnp.where(big, self.gdot0 * jnp.exp(capped) * (1.0 + over), 0.0)
         return jnp.sign(taus) * gd
 
@@ -217,12 +227,14 @@ class KMBalD:
                              jnp.power(jnp.where(pos, act, 1.0), self.q), 0.0)
         # balanced combination gd = gw*gr/(gw+gr), evaluated in log space so
         # the huge dynamic range (gw ~ exp(-300)) stays NaN-free under AD
+        tiny = _tiny(taus)
         log_gw = jnp.log(self.gam_wo) - c_t * actq
         log_gr = jnp.log(self.gam_ro / self.wr_d) + \
-            jnp.log(jnp.maximum(tau_eff, _TINY))
+            jnp.log(jnp.maximum(tau_eff, tiny))
         log_gd = log_gw + log_gr - jnp.logaddexp(log_gw, log_gr)
-        gd = jnp.where(tau_eff > 1e-30,
-                       jnp.exp(jnp.maximum(log_gd, -700.0)), 0.0)
+        floor = -700.0 if taus.dtype == jnp.float64 else -80.0
+        gd = jnp.where(tau_eff > 10 * tiny,
+                       jnp.exp(jnp.maximum(log_gd, floor)), 0.0)
         return jnp.sign(taus) * gd
 
     def _k2(self, shrate):

@@ -32,6 +32,7 @@ def dogleg_solve(resid_jac_fn, x0, tol=1e-10, max_iter=100, delta_init=1.0,
     def norm(v):
         return jnp.sqrt(jnp.sum(v * v))
 
+    tiny = float(jnp.finfo(x0.dtype).tiny)
     r0, J0 = resid_jac_fn(x0)
 
     def cond(state):
@@ -53,7 +54,7 @@ def dogleg_solve(resid_jac_fn, x0, tol=1e-10, max_iter=100, delta_init=1.0,
         Jg = J @ g
         gnorm2 = jnp.sum(g * g)
         denom = jnp.sum(Jg * Jg)
-        alpha = gnorm2 / jnp.maximum(denom, 1e-300)
+        alpha = gnorm2 / jnp.maximum(denom, tiny)
         p_cauchy = -alpha * g
         pc_norm = norm(p_cauchy)
 
@@ -65,11 +66,11 @@ def dogleg_solve(resid_jac_fn, x0, tol=1e-10, max_iter=100, delta_init=1.0,
         b = 2.0 * jnp.sum(p_cauchy * d)
         c = jnp.sum(p_cauchy * p_cauchy) - delta * delta
         disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
-        beta = (-b + jnp.sqrt(disc)) / jnp.maximum(2.0 * a, 1e-300)
+        beta = (-b + jnp.sqrt(disc)) / jnp.maximum(2.0 * a, tiny)
         beta = jnp.clip(beta, 0.0, 1.0)
         p_dog = p_cauchy + beta * d
         # if even the Cauchy point is outside the radius, take scaled descent
-        p_desc = -(delta / jnp.maximum(norm(g), 1e-300)) * g
+        p_desc = -(delta / jnp.maximum(norm(g), tiny)) * g
         p_tr = jnp.where(pc_norm >= delta, p_desc, p_dog)
         p = jnp.where(use_newton, p_newton, p_tr)
 
@@ -79,7 +80,7 @@ def dogleg_solve(resid_jac_fn, x0, tol=1e-10, max_iter=100, delta_init=1.0,
         phi_trial = 0.5 * jnp.sum(r_trial * r_trial)
         lin = r + J @ p
         pred = phi - 0.5 * jnp.sum(lin * lin)
-        rho = (phi - phi_trial) / jnp.maximum(pred, 1e-300)
+        rho = (phi - phi_trial) / jnp.maximum(pred, tiny)
         finite = jnp.all(jnp.isfinite(r_trial))
         accept = jnp.logical_and(finite, rho > 1e-4)
 

@@ -225,7 +225,9 @@ def quat_to_expmap(q):
     big = qv2 > 1e-28
     qv_norm = jnp.sqrt(jnp.where(big, qv2, 1.0))
     ang = 2.0 * jnp.arctan2(qv_norm, q[..., 0])
-    fac = jnp.where(big, ang / qv_norm, 2.0 / jnp.maximum(q[..., 0], 1e-300))
+    fac = jnp.where(big, ang / qv_norm,
+                    2.0 / jnp.maximum(q[..., 0],
+                                      float(jnp.finfo(q.dtype).tiny)))
     return q[..., 1:] * fac[..., None]
 
 
