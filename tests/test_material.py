@@ -6,6 +6,7 @@ level from power-law kinetics, Voce hardening evolution.
 """
 
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -200,3 +201,72 @@ def test_state_layout_matches_reference_convention(voce_model):
     assert m["int_eng"] == (27, 1)
     assert m["elas_strain"] == (4, 5)
     assert model.num_state == 28
+
+
+def test_hcp_mtsdd_smoke():
+    """HCP (24 slip systems) with MTSDD kinetics: finite, plastic, stable."""
+    import dataclasses
+
+    from exaconstit_tpu.models import elasticity, kinetics, slip_geom
+    from exaconstit_tpu.models.ecmech import ECMechModel
+    from exaconstit_tpu.models.eos import EosConst
+    from exaconstit_tpu.models.evptn import EvptnModel
+
+    props = np.loadtxt("/root/reference/test/data/props_cp_mts.txt")
+    elast = elasticity.hexagonal(162.4, 92.0, 69.0, 180.7, 46.7)  # Ti-like
+    kin = kinetics.KMBalD.from_props(
+        np.concatenate([props[:3], [162.4, 92.0, 69.0, 180.7, 46.7],
+                        props[6:22], props[22:]]), n_elastic=5)
+    slip = slip_geom.hcp24()
+    eos = EosConst(bulk=elast.bulk)
+    model = ECMechModel(
+        evptn=EvptnModel(slip=slip, elast=elast, kinetics=kin, eos=eos),
+        temp_k=300.0, nslip=24, n_h=1)
+    assert model.num_state == 40  # 4+5+4+1+24+1+1
+    N = 4
+    state = jnp.asarray(model.init_state(np.tile([[1.0, 0, 0, 0]], (N, 1))))
+    L = jnp.asarray(np.tile(np.diag([-5e-4, -5e-4, 1e-3]), (N, 1, 1)))
+    st = state
+    setup = jax.jit(lambda dt, d, s: model.model_setup(
+        dt, d, s, compute_tangent=False))
+    for _ in range(8):
+        stress, st, _ = setup(0.1, L, st)
+    assert np.isfinite(np.asarray(stress)).all()
+    assert float(jnp.abs(st[:, model.ind_gdot:model.ind_gdot + 24]).sum()) \
+        > 0.0
+
+
+def test_order2_simulation_smoke(tmp_path):
+    """Quadratic elements end-to-end (27 qpts/elem) on a tiny voce case."""
+    import shutil
+
+    src = "/root/reference/test/data"
+    for f in ["props_cp_voce.txt", "state_cp_voce.txt", "voce_quats.ori",
+              "grains.txt"]:
+        shutil.copy(os.path.join(src, f), tmp_path)
+    toml = open(os.path.join(src, "voce_full.toml")).read()
+    toml = toml.replace("p_refinement = 1", "p_refinement = 2")
+    toml = toml.replace("ref_ser = 1", "ref_ser = 0")
+    toml = toml.replace("ncuts = [5, 5, 5]", "ncuts = [2, 2, 2]")
+    toml = toml.replace('grain_floc = "grains.txt"',
+                        'grain_floc = "grains8.txt"')
+    toml = toml.replace("[Time]", """[Time]
+    [Time.Fixed]
+        dt = 0.2
+        t_final = 0.4
+""")
+    # drop the Custom table by renaming it away
+    toml = toml.replace("[Time.Custom]", "[Ignored.Custom]")
+    np.savetxt(tmp_path / "grains8.txt", np.arange(1, 9))
+    (tmp_path / "case.toml").write_text(toml)
+    from exaconstit_tpu.driver import Simulation, parse_options
+
+    opt = parse_options(str(tmp_path / "case.toml"))
+    assert opt.order == 2
+    sim = Simulation(opt, workdir=str(tmp_path))
+    assert sim.system.fes.nqpts == 27
+    sim.run(verbose=False)
+    s = np.atleast_2d(np.loadtxt(tmp_path / opt.avg_stress_fname))
+    assert np.isfinite(s).all()
+    # elastic-plastic: first step mostly elastic, stress reasonable
+    assert 0.01 < s[-1, 2] < 0.08
