@@ -211,7 +211,9 @@ def build_model(opt: ExaOptions, props: np.ndarray) -> ECMechModel:
     elif opt.slip_type == SlipType.POWERVOCENL:
         kin = kinetics.VocePL.from_props(props, nonlinear=True)
     elif opt.slip_type == SlipType.MTSDD:
-        kin = kinetics.KMBalD.from_props(props, n_elastic=n_elast)
+        kin = kinetics.KMBalD.from_props(
+            props, n_elastic=n_elast,
+            g_athermal=(opt.xtal_type == XtalType.BCC))
     else:
         raise ValueError("unsupported slip type")
 
@@ -219,7 +221,16 @@ def build_model(opt: ExaOptions, props: np.ndarray) -> ECMechModel:
     gruneisen, e_ref = props[-2], props[-1]
     eos = EosConst(bulk=elast.bulk, gruneisen=gruneisen, rho0=rho0, e0=e_ref)
 
+    # Mixed f32/f64 precision is safe for the power-law kinetics but not
+    # for MTSDD: the Kocks-Mecking thermal branch is near rate-independent
+    # (d gdot/d tau ~ c1*mu/T ~ 3e2 in the exponent), so the condition
+    # number of the point Jacobian at the elastic-plastic transition
+    # amplifies the f32-factorization error past O(1) and the quasi-Newton
+    # f64 polish stops contracting -- which puts a noise floor under the
+    # outer FEM Newton and stalls it.  Solve MTSDD fully in f64.
+    mixed = opt.slip_type != SlipType.MTSDD
     evptn = EvptnModel(slip=slip, elast=elast, kinetics=kin, eos=eos,
-                       solver_tol=max(float(tol), 1e-14))
+                       solver_tol=max(float(tol), 1e-14),
+                       mixed_precision=mixed)
     return ECMechModel(evptn=evptn, temp_k=opt.temp_k, nslip=slip.nslip,
                        n_h=kin.n_h)

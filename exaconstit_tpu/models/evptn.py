@@ -74,9 +74,15 @@ class EvptnModel:
     solver_max_iter: int = 200
     # "staggered": ExaCMech-style lagged hardness — solve (e, xi) with h
     #              frozen, then update h implicitly; stagger_iters passes.
-    #              One pass reproduces the reference's golden curves to
-    #              ~1e-5 relative (default).
-    # "coupled":   one dogleg over (e, xi, h) — fully-implicit variant.
+    #              Exactly ONE pass with NO substepping reproduces the
+    #              reference's golden curves to ~3e-5 relative: calibration
+    #              against test/data/voce_full_stress.txt shows any extra
+    #              implicitness (stagger_iters>1, substeps, or the coupled
+    #              solve) lands 5e-3 away — i.e. ExaCMech itself is a
+    #              plain lagged one-pass update, and matching its golden
+    #              curves means matching that scheme, not refining it.
+    # "coupled":   one dogleg over (e, xi, h) — fully-implicit variant
+    #              (more accurate in dt, but NOT what the goldens used).
     hardness_mode: str = "staggered"
     stagger_iters: int = 1
     # time-integration weight for the plastic-flow term in the elastic
@@ -84,13 +90,12 @@ class EvptnModel:
     flow_theta: float = 1.0
     # a-priori sub-incrementation of the point update (staggered mode):
     # substeps = ceil(shrateEff_prev * dt / substep_deff_cap) per point,
-    # capped at max_substeps; 0 disables.  The criterion uses the
-    # PREVIOUS step's effective plastic shear rate (beginning-of-step
-    # state) so it is constant during the outer Newton loop.  Limits the
-    # lagged-hardness error at large time steps.
-    # calibrated against the reference's voce_full golden curve: 1e-4
-    # bounds the stress deviation to ~0.2% across the ramped-dt schedule
-    substep_deff_cap: float = 1e-4
+    # capped at max_substeps; 0 disables (default — see hardness_mode
+    # note: the reference scheme has no substepping, so enabling this
+    # moves results AWAY from the reference goldens even though it is
+    # formally more accurate).  Kept as an option for production runs
+    # that want accuracy over golden-parity at large dt.
+    substep_deff_cap: float = 0.0
     max_substeps: int = 10
     # mixed precision: run the stiff trust-region iteration in f32 (fast on
     # TPU, where f64 is emulated), then polish with a few plain f64 Newton

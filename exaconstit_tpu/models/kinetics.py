@@ -53,6 +53,14 @@ class VocePL:
     # Evolution form: "sat_ratio" -> h0*((gs-h)/(gs-g0))^n * Gamma_dot
     #                 "one_minus" -> h0*(1-h/gs)^n * Gamma_dot
     form: str = "sat_ratio"
+    # h integration scheme over the step (linear Voce):
+    #   "backward_euler" -> one implicit Euler step (default; calibration
+    #       against the reference goldens puts it at the golden files'
+    #       6-sig-digit print floor ~7e-6 over the ramped-dt schedule,
+    #       while the exact-exponential update drifts to 3e-2 by the
+    #       dt=1.0 steps -- ExaCMech's Voce update is backward Euler)
+    #   "exponential" -> exact solution of dh/dGamma = a(gs-h), gs frozen
+    h_scheme: str = "backward_euler"
 
     n_h = 1
 
@@ -138,10 +146,9 @@ class VocePL:
                 a = self.h0 / (gs - self.g0)
             else:
                 a = self.h0 / gs
-            # dh/dGamma = a (gs - h) with gs frozen over the step has the
-            # exact exponential solution; using it (rather than backward
-            # Euler) matches the reference's hardness evolution at the
-            # large dt values of the ramped test schedules.
+            if self.h_scheme == "backward_euler":
+                return (h_n + a * gs * dgam) / (1.0 + a * dgam)
+            # exact solution of dh/dGamma = a (gs - h) with gs frozen
             return gs + (h_n - gs) * jnp.exp(-a * dgam)
         h = h_n
         for _ in range(20):
@@ -183,15 +190,23 @@ class KMBalD:
     ninv: float
     gam_ro_dd: float
     rho_dd_init: float
+    # ExaCMech's KineticsKMBalD<withGAthermal> template flag
+    # (matModelEvptn_BCC_A vs FCC_B, referenced from
+    # src/mechanics_ecmech.hpp:460-463): BCC screw-dislocation kinetics
+    # have the dislocation strength act ATHERMALLY (subtracted from tau)
+    # with the Peierls barrier tau_a as the thermally-activated obstacle
+    # scale; FCC is the reverse (tau_a athermal, strength normalizes the
+    # activation).  Calibrated against mtsdd_bcc_stress.txt.
+    g_athermal: bool = False
 
     n_h = 1
 
     @classmethod
-    def from_props(cls, props, n_elastic: int = 3):
+    def from_props(cls, props, n_elastic: int = 3, g_athermal: bool = False):
         p = np.asarray(props, dtype=float)
         k = 3 + n_elastic  # rho0, cvav, tol + elastic constants
         vals = p[k:k + 16]
-        return cls(*[float(v) for v in vals])
+        return cls(*[float(v) for v in vals], g_athermal=g_athermal)
 
     def init_hardness(self):
         return np.array([self.rho_dd_init])
@@ -202,15 +217,26 @@ class KMBalD:
         return self.go + self.s * jnp.sqrt(rho)
 
     def operating_ratio(self, deff):
-        """|tau_eff|/g at flow rate deff (thermal branch, p=q~1 estimate)."""
+        """|tau|/strength at flow rate deff (thermal branch, p=q~1
+        estimate), used only for the implicit solver's initial guess."""
         c_t = self.c1 * self.mu_ref / 300.0
-        x = 1.0 + jnp.log(jnp.maximum(deff, 1e-12) / self.gam_wo) / c_t
-        return jnp.clip(x, 0.05, 1.0)
+        x = jnp.clip(
+            1.0 + jnp.log(jnp.maximum(deff, 1e-12) / self.gam_wo) / c_t,
+            0.05, 1.0)
+        if self.g_athermal:
+            # flow at |tau| ~ g + x*tau_a; ratio relative to g(h_init)
+            g0 = self.go + self.s * np.sqrt(max(self.rho_dd_init, 1e-30))
+            return 1.0 + x * self.tau_a / g0
+        return x
 
     def gdots(self, taus, h, temp_k):
         g = self._strength(h)
-        tau_eff = jnp.maximum(jnp.abs(taus) - self.tau_a, 0.0)
-        x = jnp.clip(tau_eff / g, 0.0, 1.0)
+        if self.g_athermal:  # BCC: strength athermal, Peierls thermal
+            tau_eff = jnp.maximum(jnp.abs(taus) - g, 0.0)
+            x = jnp.clip(tau_eff / self.tau_a, 0.0, 1.0)
+        else:  # FCC/HCP: Peierls athermal, strength thermal
+            tau_eff = jnp.maximum(jnp.abs(taus) - self.tau_a, 0.0)
+            x = jnp.clip(tau_eff / g, 0.0, 1.0)
         # thermally-activated branch: gam_wo * exp(-(c1 mu / T)(1 - x^p)^q)
         c_t = self.c1 * self.mu_ref / temp_k
         if self.p == 1.0:
@@ -237,9 +263,17 @@ class KMBalD:
                        jnp.exp(jnp.maximum(log_gd, floor)), 0.0)
         return jnp.sign(taus) * gd
 
+    # Floor for the recovery-rate argument: k2 only enters multiplied by
+    # dgam = shrate*dt, so its value below shrate ~ 1e-10 is irrelevant —
+    # but the *derivative* dk2/dshrate ~ k2/shrate overflows f64 near the
+    # denormal floor, which NaNs the coupled consistent tangent in the
+    # elastic regime.  1e-10 keeps both the value and the AD path bounded.
+    _SHRATE_FLOOR = 1e-10
+
     def _k2(self, shrate):
         return self.k2_0 * jnp.power(
-            self.gam_ro_dd / jnp.maximum(shrate, _TINY), self.ninv)
+            self.gam_ro_dd / jnp.maximum(shrate, self._SHRATE_FLOOR),
+            self.ninv)
 
     def h_residual(self, h, h_n, gdots, dt, temp_k):
         """Backward-Euler density residual (for the coupled tangent)."""
@@ -259,8 +293,7 @@ class KMBalD:
         del temp_k
         shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
         dgam = shrate * dt
-        k2 = self.k2_0 * jnp.power(
-            self.gam_ro_dd / jnp.maximum(shrate, _TINY), self.ninv)
+        k2 = self._k2(shrate)
         rho = jnp.maximum(h_n, _TINY)
         for _ in range(20):
             sq = jnp.sqrt(jnp.maximum(rho, _TINY))
