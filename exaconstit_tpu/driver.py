@@ -33,7 +33,7 @@ from .fem.geometry import grad_calc, jacobians
 from .fem.space import FESpace
 from .mesh.voxel import HexMesh, make_cartesian_mesh
 from .models.ecmech import ECMechModel, build_model
-from .solvers.krylov import gmres, minres, pcg
+from .solvers.krylov import gmres, minres, pcg, pcg_refined
 from .utils import tensors as tn
 
 
@@ -193,7 +193,27 @@ class MechSystem:
         self._gather = gather
         self._scatter_add = scatter_add
 
-        def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords):
+        def compute_nsub(v, x_beg, dt):
+            """Frozen per-point substep counts from the entry velocity.
+
+            Evaluated ONCE per time step (and per auto-dt attempt): an
+            iterate-dependent count makes the residual discontinuous
+            where a point's deff crosses a cap/dt multiple, which stalls
+            the outer Newton."""
+            el_x = gather(x_beg + dt * v)
+            el_v = gather(v)
+            J = jacobians(el_x, self.dshape)
+            vgrad = grad_calc(el_v, self.dshape, J)
+            ne, nq = vgrad.shape[0], vgrad.shape[1]
+            if hasattr(model, "substep_counts"):
+                return model.substep_counts(dt, vgrad.reshape(ne * nq, 3, 3))
+            return jnp.ones(ne * nq, dtype=jnp.int32)
+
+        self._compute_nsub = jax.jit(compute_nsub)
+        self._compute_nsub_raw = compute_nsub
+
+        def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords,
+                     nsub):
             """Residual + gradient data + diagonal at velocity iterate v."""
             x_end = x_beg + dt * v if advance_coords else x_beg
             el_x = gather(x_end)
@@ -203,7 +223,7 @@ class MechSystem:
             ne, nq = vgrad.shape[0], vgrad.shape[1]
             stress, state_end, c6 = model.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
-                state_beg.reshape(ne * nq, -1))
+                state_beg.reshape(ne * nq, -1), nsub=nsub)
             stress_q = constrain_e(stress.reshape(ne, nq, 6))
             c6_q = constrain_e(c6.reshape(ne, nq, 6, 6))
             if self.bbar:
@@ -239,7 +259,7 @@ class MechSystem:
 
         self._setup = jax.jit(setup_fn, static_argnums=(5,))
 
-        def residual_only(v, x_beg, state_beg, dt, ess_mask):
+        def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub):
             x_end = x_beg + dt * v
             el_x = gather(x_end)
             el_v = gather(v)
@@ -248,7 +268,8 @@ class MechSystem:
             ne, nq = vgrad.shape[0], vgrad.shape[1]
             stress, _, _ = model.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
-                state_beg.reshape(ne * nq, -1), compute_tangent=False)
+                state_beg.reshape(ne * nq, -1), compute_tangent=False,
+                nsub=nsub)
             stress_q2 = constrain_e(stress.reshape(ne, nq, 6))
             if self.bbar:
                 force = ops.residual_force_bbar(el_x, self.dshape, self.qwts,
@@ -280,7 +301,8 @@ class MechSystem:
             x = jnp.where(ess_mask_flat, 0.0, x_flat).reshape(nn, 3)
             el_u = gather(x)
             if self.assembly == Assembly.PA:
-                el_y = ops.apply_pa_gradient(k_data, self.dshape, el_u)
+                el_y = ops.apply_pa_gradient(
+                    k_data, self.dshape.astype(el_u.dtype), el_u)
             else:
                 el_y = ops.apply_ea_gradient(k_data, el_u)
             y = scatter_add(el_y).reshape(-1)
@@ -290,7 +312,8 @@ class MechSystem:
             x = x_flat.reshape(nn, 3)
             el_u = gather(x)
             if self.assembly == Assembly.PA:
-                el_y = ops.apply_pa_gradient(k_data, self.dshape, el_u)
+                el_y = ops.apply_pa_gradient(
+                    k_data, self.dshape.astype(el_u.dtype), el_u)
             else:
                 el_y = ops.apply_ea_gradient(k_data, el_u)
             return scatter_add(el_y).reshape(-1)
@@ -304,10 +327,29 @@ class MechSystem:
         else:
             krylov = gmres
 
+        # Mixed-precision Krylov (f32 inner PCG + f64 residual replay):
+        # f64 is emulated on TPU, but the linear solve only needs f64 at
+        # the refinement level — same MFEM convergence criterion, ~f32
+        # matvec cost.  Enabled for the PCG path under x64 unless the
+        # caller opts out (opt.mixed_krylov = False).
+        use_refined = (opt.solver == KrylovSolver.PCG
+                       and getattr(opt, "mixed_krylov", True)
+                       and jax.config.jax_enable_x64)
+
         def krylov_solve(k_data, diag, b, ess_mask_flat):
             matvec = lambda x: grad_matvec(k_data, x, ess_mask_flat)
             dinv = 1.0 / diag
             precond = lambda v: dinv * v
+            if use_refined and b.dtype == jnp.float64:
+                f32 = jnp.float32
+                k32 = jax.tree_util.tree_map(lambda a: a.astype(f32),
+                                             k_data)
+                dinv32 = dinv.astype(f32)
+                matvec32 = lambda x: grad_matvec(k32, x, ess_mask_flat)
+                precond32 = lambda v: dinv32 * v
+                return pcg_refined(matvec, precond, matvec32, precond32, b,
+                                   opt.krylov_rel_tol, opt.krylov_abs_tol,
+                                   opt.krylov_iter)
             return krylov(matvec, precond, b, opt.krylov_rel_tol,
                           opt.krylov_abs_tol, opt.krylov_iter)
 
@@ -334,15 +376,17 @@ class MechSystem:
         """
 
         def step(v, x_beg, state, dt, ess_flat):
+            nsub = self._compute_nsub_raw(v, x_beg, dt)
+
             def newton_body(_, v):
                 r, kd, dg, _, _ = self._setup_raw(v, x_beg, state, dt,
-                                                  ess_flat, True)
+                                                  ess_flat, True, nsub)
                 c, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
                 return v - c.reshape(-1, 3)
 
             v = jax.lax.fori_loop(0, newton_iters, newton_body, v)
             r, kd, dg, stress, state_end = self._setup_raw(
-                v, x_beg, state, dt, ess_flat, True)
+                v, x_beg, state, dt, ess_flat, True, nsub)
             x_cur = x_beg + dt * v
             return v, x_cur, stress, state_end, jnp.linalg.norm(r)
 
@@ -363,8 +407,10 @@ class MechSystem:
         """
         opt = self.opt
         ess_flat = jnp.asarray(ess_mask.reshape(-1))
+        # substep counts frozen at step entry (smooth residual over NR)
+        nsub = self._compute_nsub(v, x_beg, dt)
         r, k_data, diag, stress, state_end = self._setup(
-            v, x_beg, state, dt, ess_flat, True)
+            v, x_beg, state, dt, ess_flat, True, nsub)
         norm = float(jnp.linalg.norm(r))
         norm0 = norm
         norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
@@ -387,10 +433,11 @@ class MechSystem:
             q1 = norm
 
             def quad_ls():
-                r3 = self._residual_only(v - c, x_beg, state, dt, ess_flat)
+                r3 = self._residual_only(v - c, x_beg, state, dt, ess_flat,
+                                         nsub)
                 q3 = float(jnp.linalg.norm(r3))
                 r2 = self._residual_only(v - 0.5 * c, x_beg, state, dt,
-                                         ess_flat)
+                                         ess_flat, nsub)
                 q2 = float(jnp.linalg.norm(r2))
                 denom = q1 - 2.0 * q2 + q3
                 eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom) \
@@ -404,17 +451,19 @@ class MechSystem:
             if always_ls:
                 scale = quad_ls()
                 v_new = v - scale * c
-                out = self._setup(v_new, x_beg, state, dt, ess_flat, True)
+                out = self._setup(v_new, x_beg, state, dt, ess_flat, True,
+                                  nsub)
             else:
                 v_new = v - c
-                out = self._setup(v_new, x_beg, state, dt, ess_flat, True)
+                out = self._setup(v_new, x_beg, state, dt, ess_flat, True,
+                                  nsub)
                 q_full = float(jnp.linalg.norm(out[0]))
                 if not np.isfinite(q_full) or q_full > 0.5 * q1:
                     scale = quad_ls()
                     if scale != 1.0:
                         v_new = v - scale * c
                         out = self._setup(v_new, x_beg, state, dt, ess_flat,
-                                          True)
+                                          True, nsub)
 
             v = v_new
             r, k_data, diag, stress, state_end = out
@@ -430,8 +479,9 @@ class MechSystem:
         # local (unconstrained) gradient action on the BC delta + residual,
         # with geometry NOT advanced (Setup<false>,
         # mechanics_operator.cpp:446-483)
+        nsub = self._compute_nsub(v_prev, x_beg, dt)
         r, k_data, diag, _, _ = self._setup(v_prev, x_beg, state, dt,
-                                            ess_flat, False)
+                                            ess_flat, False, nsub)
         y = self._grad_matvec_unconstrained(k_data, delta)
         y = jnp.where(ess_flat, 0.0, y) + r
         c, kit, kdone = self._krylov(k_data, diag, y, ess_flat)

@@ -72,31 +72,31 @@ class EvptnModel:
     eos: EosConst
     solver_tol: float = 1e-10
     solver_max_iter: int = 200
-    # "staggered": ExaCMech-style lagged hardness — solve (e, xi) with h
-    #              frozen, then update h implicitly; stagger_iters passes.
-    #              Exactly ONE pass with NO substepping reproduces the
-    #              reference's golden curves to ~3e-5 relative: calibration
-    #              against test/data/voce_full_stress.txt shows any extra
-    #              implicitness (stagger_iters>1, substeps, or the coupled
-    #              solve) lands 5e-3 away — i.e. ExaCMech itself is a
-    #              plain lagged one-pass update, and matching its golden
-    #              curves means matching that scheme, not refining it.
+    # "staggered": ExaCMech-style lagged hardness — per substep, solve
+    #              (e, xi) with h frozen, then update h implicitly;
+    #              stagger_iters passes.  Exactly ONE pass (with the
+    #              deff-capped sub-incrementation below) reproduces the
+    #              reference's golden curves to their print floor:
+    #              calibration against test/data/voce_full_stress.txt
+    #              shows extra implicitness (stagger_iters>1 or the
+    #              coupled solve) lands 5e-3 away — ExaCMech itself is a
+    #              lagged one-pass update per substep, and matching its
+    #              golden curves means matching that scheme exactly.
     # "coupled":   one dogleg over (e, xi, h) — fully-implicit variant
-    #              (more accurate in dt, but NOT what the goldens used).
+    #              (NOT what the goldens used).
     hardness_mode: str = "staggered"
     stagger_iters: int = 1
     # time-integration weight for the plastic-flow term in the elastic
     # strain update: 1.0 = backward Euler, 0.5 = trapezoidal
     flow_theta: float = 1.0
-    # a-priori sub-incrementation of the point update (staggered mode):
-    # substeps = ceil(shrateEff_prev * dt / substep_deff_cap) per point,
-    # capped at max_substeps; 0 disables (default — see hardness_mode
-    # note: the reference scheme has no substepping, so enabling this
-    # moves results AWAY from the reference goldens even though it is
-    # formally more accurate).  Kept as an option for production runs
-    # that want accuracy over golden-parity at large dt.
-    substep_deff_cap: float = 0.0
-    max_substeps: int = 10
+    # ExaCMech-style sub-incrementation of the point update (staggered
+    # mode): n = ceil(dt * rate_ref / substep_cap), UNIFORM over points,
+    # with rate_ref the kinetics reference slip rate (gdot0 / gam_wo);
+    # capped at max_substeps; 0 disables.  The 0.1 potential-slip cap
+    # was identified against the reference goldens — see
+    # ECMechModel.substep_counts (models/ecmech.py) for the evidence.
+    substep_cap: float = 0.1
+    max_substeps: int = 32
     # mixed precision: run the stiff trust-region iteration in f32 (fast on
     # TPU, where f64 is emulated), then polish with a few plain f64 Newton
     # steps -- full f64 accuracy (validated ~3e-8 rel stress vs pure f64)
@@ -105,6 +105,13 @@ class EvptnModel:
     mixed_precision: bool = True
     fast_tol: float = 1e-6
     refine_iters: int = 3
+    # batched solver engine for the staggered path:
+    # "cm"   -> component-major structure-of-arrays engine (evptn_cm.py):
+    #           identical semantics, TPU-friendly layouts (point batch in
+    #           the lane axis)
+    # "vmap" -> per-point formulation vmapped over the batch (reference
+    #           implementation; also used for the coupled hardness mode)
+    engine: str = "cm"
 
     @property
     def nslip(self):
@@ -271,17 +278,18 @@ def _solve_point_coupled(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
 def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
                            q_n, h_n, temp_k, nsub=1):
     """ExaCMech-style staggered solve: (e,xi) | h alternation, with
-    optional a-priori sub-incrementation at large plastic-shear
-    increments.
+    deff-capped sub-incrementation (see EvptnModel.substep_cap).
 
-    ``nsub`` may be a traced per-point integer, but it MUST NOT depend on
-    the current Newton iterate (it is derived from beginning-of-step state
-    upstream): an iterate-dependent substep count creates residual
-    discontinuities that put a noise floor under the outer FEM Newton.
+    ``nsub`` is a traced per-point integer derived from the current
+    effective deformation rate (matching the reference's behavior).  It
+    is piecewise-constant in the outer Newton iterate — the residual has
+    small discontinuities where a point's deff crosses a multiple of
+    cap/dt, exactly as the reference's does; the outer Newton's line
+    search handles these.
     """
     dtype = e_n.dtype
     nsub = jnp.asarray(nsub, jnp.int32)
-    max_sub = model.max_substeps if model.substep_deff_cap > 0.0 else 1
+    max_sub = model.max_substeps if model.substep_cap > 0.0 else 1
     dt_sub = dt / nsub.astype(dtype)
 
     use_mixed = model.mixed_precision and dtype == jnp.float64
@@ -393,6 +401,15 @@ def point_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1, e_int_n,
     x, h_end, h_used, iters, ok = _solve_point(model, dt, d_vecd_sm,
                                                w_vec_sm, e_n, q_n, h_n,
                                                temp_k, nsub=nsub)
+    return _outputs_from_solution(model, dt, d_vecd_sm, w_vec_sm, v0, v1,
+                                  e_int_n, e_n, q_n, h_n, temp_k, x, h_end,
+                                  h_used, iters, ok, compute_tangent)
+
+
+def _outputs_from_solution(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0,
+                           v1, e_int_n, e_n, q_n, h_n, temp_k, x, h_end,
+                           h_used, iters, ok, compute_tangent):
+    """Stress/state/tangent outputs given the converged point solution."""
     e_end = x[:5]
     xi = x[5:]
     q_end = tn.normalize_quat(tn.quat_multiply(q_n, tn.expmap_to_quat(xi)))
@@ -515,9 +532,28 @@ def batched_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1,
 
     nsub: optional per-point substep counts (int32 array); None -> 1.
     """
-    fn = partial(point_update, model, compute_tangent=compute_tangent)
     if nsub is None:
-        nsub = jnp.ones(d_vecd_sm.shape[0], dtype=jnp.int32)
+        nsub = 1
+    # scalar (uniform) counts broadcast to the batch
+    nsub = jnp.broadcast_to(jnp.asarray(nsub, jnp.int32),
+                            (d_vecd_sm.shape[0],))
+    if model.engine == "cm" and model.hardness_mode == "staggered":
+        from . import evptn_cm
+        x, h_end, h_used, iters, ok = evptn_cm.solve_staggered_cm(
+            model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, temp_k, nsub)
+        out_fn = partial(_outputs_from_solution, model,
+                         compute_tangent=False)
+        out = jax.vmap(
+            lambda a, b, c, d2, e, f, g, h2, xx, he, hu, it, kk: out_fn(
+                dt, a, b, c, d2, e, f, g, h2, temp_k, xx, he, hu, it, kk)
+        )(d_vecd_sm, w_vec_sm, v0, v1, e_int_n, e_n, q_n, h_n, x, h_end,
+          h_used, iters, ok)
+        if compute_tangent:
+            out["tangent"] = evptn_cm.tangent_cm(
+                model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x, h_end,
+                v1, temp_k)
+        return out
+    fn = partial(point_update, model, compute_tangent=compute_tangent)
     return jax.vmap(
         lambda a, b, c, d2, e, f, g, h2, ns: fn(dt, a, b, c, d2, e, f, g,
                                                 h2, temp_k, nsub=ns)

@@ -102,6 +102,34 @@ class VocePL:
         gd = jnp.where(big, self.gdot0 * jnp.exp(capped) * (1.0 + over), 0.0)
         return jnp.sign(taus) * gd
 
+    def gdots_slope(self, taus, h, temp_k):
+        """(gdots, d gdots / d tau) with the slope in closed form.
+
+        Shape-generic (h broadcasts against taus on the last axis); used
+        by the component-major batched engine where reverse/forward AD
+        per point would bloat the compiled program.
+        """
+        del temp_k
+        g = h[..., 0:1]
+        xn = 1.0 / self.xm
+        tau_abs = jnp.abs(taus)
+        ratio = tau_abs / g
+        big = ratio > 1e-10
+        ratio_safe = jnp.where(big, ratio, 1.0)
+        log_gdot = xn * jnp.log(ratio_safe)
+        cap = _max_log_gdot(taus)
+        capped = jnp.minimum(log_gdot, cap)
+        over = jnp.maximum(log_gdot - cap, 0.0)
+        mag_cap = self.gdot0 * jnp.exp(capped)
+        mag = mag_cap * (1.0 + over)
+        gd = jnp.where(big, mag, 0.0)
+        # d|gd|/d|tau|: below the cap mag_cap*(1+over) == mag and the
+        # derivative is xn*mag/tau; above, mag_cap is frozen and only the
+        # linear continuation term varies: d = mag_cap * xn / tau.
+        slope_mag = jnp.where(log_gdot < cap, xn * mag, xn * mag_cap)
+        slope = jnp.where(big, slope_mag / jnp.where(big, tau_abs, 1.0), 0.0)
+        return jnp.sign(taus) * gd, slope
+
     def operating_ratio(self, deff):
         """Estimate of |tau|/g at fully-developed flow at rate ``deff``.
 
@@ -190,6 +218,9 @@ class KMBalD:
     ninv: float
     gam_ro_dd: float
     rho_dd_init: float
+    # density-production exponent a in drho/dGamma = k1 rho^a - k2 rho
+    # (0.5 = classic Kocks-Mecking sqrt production)
+    prod_exponent: float = 0.5
     # ExaCMech's KineticsKMBalD<withGAthermal> template flag
     # (matModelEvptn_BCC_A vs FCC_B, referenced from
     # src/mechanics_ecmech.hpp:460-463): BCC screw-dislocation kinetics
@@ -270,10 +301,74 @@ class KMBalD:
     # elastic regime.  1e-10 keeps both the value and the AD path bounded.
     _SHRATE_FLOOR = 1e-10
 
+    def gdots_slope(self, taus, h, temp_k):
+        """(gdots, d gdots / d tau) with the slope in closed form.
+
+        Mirrors ``gdots`` exactly; the slope propagates through the
+        log-space thermal/drag balance:
+        d log(gd) = d log(gw) (1-p_w) + d log(gr) (1-p_r) with
+        p_* the softmax weights of logaddexp.
+        """
+        g = self._strength(h)
+        tau_abs = jnp.abs(taus)
+        if self.g_athermal:
+            tau_eff = jnp.maximum(tau_abs - g, 0.0)
+            norm = self.tau_a
+        else:
+            tau_eff = jnp.maximum(tau_abs - self.tau_a, 0.0)
+            norm = g
+        xr = tau_eff / norm
+        x = jnp.clip(xr, 0.0, 1.0)
+        c_t = self.c1 * self.mu_ref / temp_k
+        if self.p == 1.0:
+            xp, dxp_dx = x, jnp.ones_like(x)
+        else:
+            pos = x > 1e-12
+            xs = jnp.where(pos, x, 1.0)
+            xp = jnp.where(pos, jnp.power(xs, self.p), 0.0)
+            dxp_dx = jnp.where(pos, self.p * jnp.power(xs, self.p - 1.0),
+                               0.0)
+        act = jnp.maximum(1.0 - xp, 0.0)
+        if self.q == 1.0:
+            actq, dactq_dact = act, jnp.ones_like(act)
+        else:
+            pos = act > 1e-12
+            acts = jnp.where(pos, act, 1.0)
+            actq = jnp.where(pos, jnp.power(acts, self.q), 0.0)
+            dactq_dact = jnp.where(pos,
+                                   self.q * jnp.power(acts, self.q - 1.0),
+                                   0.0)
+        tiny = _tiny(taus)
+        log_gw = jnp.log(self.gam_wo) - c_t * actq
+        tau_eff_s = jnp.maximum(tau_eff, tiny)
+        log_gr = jnp.log(self.gam_ro / self.wr_d) + jnp.log(tau_eff_s)
+        lse = jnp.logaddexp(log_gw, log_gr)
+        log_gd = log_gw + log_gr - lse
+        floor = -700.0 if taus.dtype == jnp.float64 else -80.0
+        active = tau_eff > 10 * tiny
+        mag = jnp.where(active, jnp.exp(jnp.maximum(log_gd, floor)), 0.0)
+
+        dtau_eff = jnp.where(tau_eff > 0.0, 1.0, 0.0)
+        in_window = jnp.logical_and(xr > 0.0, xr < 1.0)
+        dx = jnp.where(in_window, dtau_eff / norm, 0.0)
+        dlgw = c_t * dactq_dact * dxp_dx * dx  # -c_t * d(actq), act=1-xp
+        dlgr = dtau_eff / tau_eff_s
+        p_w = jnp.exp(log_gw - lse)
+        p_r = jnp.exp(log_gr - lse)
+        dlog_gd = dlgw * (1.0 - p_w) + dlgr * (1.0 - p_r)
+        slope = jnp.where(active, mag * dlog_gd, 0.0)
+        return jnp.sign(taus) * mag, slope
+
     def _k2(self, shrate):
         return self.k2_0 * jnp.power(
             self.gam_ro_dd / jnp.maximum(shrate, self._SHRATE_FLOOR),
             self.ninv)
+
+    def _prod(self, rho):
+        """Density production term k1 * rho^a and its derivative."""
+        a = self.prod_exponent
+        ra = jnp.power(jnp.maximum(rho, _TINY), a)
+        return self.k1 * ra, self.k1 * a * ra / jnp.maximum(rho, _TINY)
 
     def h_residual(self, h, h_n, gdots, dt, temp_k):
         """Backward-Euler density residual (for the coupled tangent)."""
@@ -282,12 +377,13 @@ class KMBalD:
         dgam = shrate * dt
         k2 = self._k2(shrate)
         rho = jnp.maximum(h, _TINY)
-        return h - h_n - (self.k1 * jnp.sqrt(rho) - k2 * rho) * dgam
+        prod, _ = self._prod(rho)
+        return h - h_n - (prod - k2 * rho) * dgam
 
     def update_h(self, h_n, gdots, dt, temp_k):
         """Implicit Kocks-Mecking density update.
 
-        drho/dGamma = k1 sqrt(rho) - k2(Gamma_dot) rho,
+        drho/dGamma = k1 rho^a - k2(Gamma_dot) rho,
         k2 = k2_0 (gam_ro_dd / Gamma_dot)^ninv.
         """
         del temp_k
@@ -296,8 +392,8 @@ class KMBalD:
         k2 = self._k2(shrate)
         rho = jnp.maximum(h_n, _TINY)
         for _ in range(20):
-            sq = jnp.sqrt(jnp.maximum(rho, _TINY))
-            r = rho - h_n - (self.k1 * sq - k2 * rho) * dgam
-            drdrho = 1.0 - (0.5 * self.k1 / sq - k2) * dgam
+            prod, dprod = self._prod(rho)
+            r = rho - h_n - (prod - k2 * rho) * dgam
+            drdrho = 1.0 - (dprod - k2) * dgam
             rho = jnp.maximum(rho - r / drdrho, _TINY)
         return rho

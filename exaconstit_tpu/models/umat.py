@@ -166,7 +166,8 @@ class UmatModel:
         s[:, 0] = s[:, 4] = s[:, 8] = 1.0  # F = I (column-major id)
         return s
 
-    def model_setup(self, dt, vgrad, state_beg, compute_tangent=True):
+    def model_setup(self, dt, vgrad, state_beg, compute_tangent=True,
+                    nsub=None):  # nsub unused: UMATs handle their own subincrements
         npts = vgrad.shape[0]
         nsv = self.num_user_state
 

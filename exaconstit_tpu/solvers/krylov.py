@@ -216,3 +216,48 @@ def gmres(matvec, precond, b, rel_tol, abs_tol, max_iter, restart=50):
     st = dict(x=jnp.zeros_like(b), it=jnp.asarray(0), done=beta0 <= goal)
     st = jax.lax.while_loop(outer_cond, outer_body, st)
     return st["x"], st["it"], st["done"]
+
+
+def pcg_refined(matvec, precond, matvec_lo, precond_lo, b, rel_tol, abs_tol,
+                max_iter, inner_rel=1e-4, max_rounds=6):
+    """Mixed-precision PCG: f32 inner solves + f64 iterative refinement.
+
+    TPU f64 is emulated (~10x the f32 op cost), but a Krylov solve only
+    needs f64 at the residual-replay level: each round runs plain f32 PCG
+    on the current f64 residual (reducing the preconditioned norm by
+    ~inner_rel), then recomputes r = b - A x in f64, restoring the
+    floating-point floor.  Convergence uses MFEM's CG criterion in f64:
+    (z, r) <= max(rel_tol^2 (z0, b), abs_tol^2) — identical semantics to
+    ``pcg``, so converged results match the full-f64 solver within the
+    requested tolerance.
+
+    matvec/precond: f64; matvec_lo/precond_lo: f32 equivalents.
+    Returns (x, total_inner_iters, converged).
+    """
+    lo = jnp.float32
+    z0 = precond(b)
+    nom0 = jnp.vdot(z0, b)
+    r0bar = jnp.maximum(nom0 * rel_tol * rel_tol,
+                        jnp.asarray(abs_tol * abs_tol, b.dtype))
+
+    def cond(state):
+        x, r, nom, it, rounds, done = state
+        return jnp.logical_and(rounds < max_rounds,
+                               jnp.logical_and(it < max_iter,
+                                               jnp.logical_not(done)))
+
+    def body(state):
+        x, r, nom, it, rounds, done = state
+        budget = max_iter - it
+        dx, in_it, _ = pcg(matvec_lo, precond_lo, r.astype(lo), inner_rel,
+                           0.0, budget)
+        x = x + dx.astype(b.dtype)
+        r = b - matvec(x)
+        z = precond(r)
+        nom = jnp.vdot(z, r)
+        return (x, r, nom, it + in_it, rounds + 1, nom <= r0bar)
+
+    state = (jnp.zeros_like(b), b, nom0, jnp.asarray(0), jnp.asarray(0),
+             nom0 <= r0bar)
+    x, r, nom, it, rounds, done = jax.lax.while_loop(cond, body, state)
+    return x, it, done

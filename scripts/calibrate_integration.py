@@ -18,7 +18,8 @@ import numpy as np
 
 DATA = "/root/reference/test/data"
 
-# "kin:" prefixed keys override kinetics fields; others EvptnModel fields
+# "kin:" prefixed keys override kinetics fields; "opt:" keys override
+# ExaOptions attributes; others EvptnModel fields
 VARIANTS = {
     "base": {},
     "h_be": {"kin:h_scheme": "backward_euler"},
@@ -26,6 +27,11 @@ VARIANTS = {
     "theta_half": {"flow_theta": 0.5},
     "f64": {"mixed_precision": False},
     "stag2": {"stagger_iters": 2},
+    # machinery-isolation variants
+    "vmap": {"engine": "vmap"},
+    "nomixk": {"opt:mixed_krylov": False},
+    "pure": {"mixed_precision": False, "engine": "vmap",
+             "opt:mixed_krylov": False},
 }
 
 
@@ -36,9 +42,14 @@ def run_variant(name, overrides, nsteps, case="voce_full.toml",
 
     kin_over = {k[4:]: v for k, v in overrides.items()
                 if k.startswith("kin:")}
-    ev_over = {k: v for k, v in overrides.items() if not k.startswith("kin:")}
+    opt_over = {k[4:]: v for k, v in overrides.items()
+                if k.startswith("opt:")}
+    ev_over = {k: v for k, v in overrides.items()
+               if not (k.startswith("kin:") or k.startswith("opt:"))}
 
     def patched(opt, props):
+        for k, v in opt_over.items():
+            setattr(opt, k, v)
         m = bm0(opt, props)
         ev = m.evptn
         if kin_over:

@@ -73,8 +73,13 @@ def main():
                         DATA, case.replace(".toml", f"_{tag}.txt"))
                     fpath = os.path.join(td, fname)
                     if os.path.exists(gextra) and os.path.exists(fpath):
-                        g2 = np.atleast_2d(np.loadtxt(fpath))
-                        r2 = np.atleast_2d(np.loadtxt(gextra))
+                        g2 = np.loadtxt(fpath)
+                        r2 = np.loadtxt(gextra)
+                        # 1-col files load as (n,): keep rows as axis 0
+                        g2 = g2.reshape(len(g2), -1) if g2.ndim == 1 \
+                            else g2
+                        r2 = r2.reshape(len(r2), -1) if r2.ndim == 1 \
+                            else r2
                         n2 = min(len(g2), len(r2))
                         s2 = max(np.abs(r2[:n2]).max(), 1e-30)
                         e2 = np.abs(g2[:n2] - r2[:n2]).max() / s2

@@ -54,6 +54,9 @@ def build(xtal="fcc", k1=None, k2=None):
     kin = m.evptn.kinetics
     if k1 is not None:
         kin = dataclasses.replace(kin, k1=float(k1), k2_0=float(k2))
+    expo = os.environ.get("FIT_PROD_EXPO")
+    if expo is not None:
+        kin = dataclasses.replace(kin, prod_exponent=float(expo))
     ev = dataclasses.replace(m.evptn, kinetics=kin)
     return dataclasses.replace(m, evptn=ev)
 
@@ -143,10 +146,12 @@ def main():
         print("best:", results[0])
     elif mode == "refine":
         k1, k2 = float(sys.argv[2]), float(sys.argv[3])
+        xtal = sys.argv[4] if len(sys.argv) > 4 else "fcc"
+        gold = golden(xtal)
         from scipy.optimize import minimize
 
         def f(x):
-            m = build("fcc", np.exp(x[0]), np.exp(x[1]))
+            m = build(xtal, np.exp(x[0]), np.exp(x[1]))
             c = taylor_curve(m, quats, w, nsteps=len(gold))
             ls = loss(c, gold)
             print(f"K1={np.exp(x[0]):9.2f} K2={np.exp(x[1]):10.2f} "

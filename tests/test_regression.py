@@ -40,8 +40,11 @@ def run_case(tmp_path, toml_name, nsteps=None):
 
 
 def compare_file(got_path, golden_path, rel_tol):
-    got = np.atleast_2d(np.loadtxt(got_path))
-    ref = np.atleast_2d(np.loadtxt(golden_path))
+    got = np.loadtxt(got_path)
+    ref = np.loadtxt(golden_path)
+    # single-column files load as (n,): keep rows as the leading axis
+    got = got.reshape(len(got), -1) if got.ndim == 1 else np.atleast_2d(got)
+    ref = ref.reshape(len(ref), -1) if ref.ndim == 1 else np.atleast_2d(ref)
     n = min(len(got), len(ref))
     got, ref = got[:n], ref[:n]
     scale = max(np.abs(ref).max(), 1e-30)
