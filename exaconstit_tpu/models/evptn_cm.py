@@ -118,6 +118,19 @@ def rot_T_mat_rot_cm(R, A):
 # ---------------------------------------------------------------------------
 
 
+def solve_dense_cm_eq(A, b):
+    """Row-equilibrated solve: scales each row of [A | b] by 1/max|A row|
+    before the pivoted Gauss-Jordan.  The evptn Jacobians' conditioning
+    is dominated by row scales (dt * kinetics-slope up to ~1e6+), which
+    equilibration removes — essential for the f32 paths, harmless in
+    f64."""
+    tiny = 1e-300 if A.dtype == jnp.float64 else 1e-37
+    rmax = jnp.max(jnp.abs(A), axis=1, keepdims=True)  # (n, 1, N)
+    rs = 1.0 / jnp.maximum(rmax, tiny)
+    bs = b * rs[:, 0, :] if b.ndim == 2 else b * rs
+    return solve_dense_cm(A * rs, bs)
+
+
 def solve_dense_cm(A, b):
     """Solve A x = b per lane: A (n, n, N), b (n, N) or (n, k, N).
 
@@ -289,7 +302,7 @@ def dogleg_cm(resjac_fn, x0, tol, max_iter, active0=None):
 
     def body(state):
         x, r, J, delta, it, done, iters = state
-        p_newton = -solve_dense_cm(J, r)  # (n, N)
+        p_newton = -solve_dense_cm_eq(J, r)  # (n, N)
         p_newton = jnp.where(jnp.all(jnp.isfinite(p_newton), axis=0)[None],
                              p_newton, jnp.zeros_like(p_newton))
         pn_norm = norm0ax(p_newton)
@@ -424,7 +437,7 @@ def solve_staggered_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
                 def polish(_, x):
                     r = residual_cm(model, x, h, dt_sub, Dsm, w_cm, e_c,
                                     q_c, temp_k)
-                    dx = solve_dense_cm(J32, r.astype(f32))
+                    dx = solve_dense_cm_eq(J32, r.astype(f32))
                     return x - dx.astype(dtype)
 
                 x = jax.lax.fori_loop(0, model.refine_iters, polish, x)
@@ -526,17 +539,26 @@ def tangent_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x_sol, h_sol,
     go through two cheap jvp's (both kinetics classes' h-residuals depend
     on gdots only through shrate = sum |gdot|).
 
-    Point-major inputs/outputs: returns (N, 6, 6).
+    Point-major inputs/outputs: returns (N, 6, 6) in the input dtype.
 
-    The tangent stays f64 even in mixed-precision mode: the coupled
-    (e, xi, h) system's condition number scales with dt times the
-    kinetics slope (1e6+ at the elastic-plastic transition), so an f32
-    solve loses the tangent entirely for stiff points — the outer FEM
-    Newton then stalls in line searches and stops barely under its
-    tolerance, costing both wall time and the golden-parity margin
-    (measured: 7e-6 -> 1.3e-3 with an f32 tangent).
+    Under ``model.mixed_precision`` the assembly runs in f32 with a
+    ROW-EQUILIBRATED solve: the coupled system's huge condition number
+    (dt*kinetics-slope ~1e6+ rows) is pure row scaling, so after
+    equilibration the f32 solve is Newton-quality (~1e-5 consistency —
+    the same level as the tangent's inherent lagged-h inconsistency).
+    A plain unequilibrated f32 solve is NOT (measured: it stalls the
+    outer Newton and costs the golden-parity margin).
     """
     from .evptn import IDENT_VOL, M_SVEC_FROM_VECD, M_VECD_FROM_SVEC_ENG
+
+    out_dtype = x_sol.dtype
+    if model.mixed_precision and out_dtype == jnp.float64:
+        f32 = jnp.float32
+        c = tangent_cm(model, jnp.asarray(dt, f32), d_vecd_sm.astype(f32),
+                       w_vec_sm.astype(f32), e_n.astype(f32),
+                       q_n.astype(f32), h_n.astype(f32), x_sol.astype(f32),
+                       h_sol.astype(f32), v1.astype(f32), temp_k)
+        return c.astype(out_dtype)
 
     dtype = x_sol.dtype
     N = x_sol.shape[0]
@@ -623,7 +645,13 @@ def tangent_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x_sol, h_sol,
     Q5T = _vecd_rot5_cm(jnp.einsum("ijn->jin", R))  # rotation by R^T
     dR_dd = jnp.concatenate(
         [-dt * Q5T, jnp.zeros((3 + nh, 5, N), dtype)], axis=0)
-    dz_dd = -solve_dense_cm(Jz, dR_dd)  # (8+nh, 5, N)
+    # Row-equilibrated solve + one defect-correction pass (cheap in f64,
+    # essential in f32: the dt*slope row scales would otherwise swamp
+    # the factorization).
+    dz = solve_dense_cm_eq(Jz, dR_dd)
+    resid = dR_dd - jnp.einsum("izn,zkn->ikn", Jz, dz)
+    dz = dz + solve_dense_cm_eq(Jz, resid)
+    dz_dd = -dz  # (8+nh, 5, N)
 
     # stress sensitivity: sigma_sm_vecd = Q5(R) (C e) / v1
     s_lat_mat = vecd_to_mat_cm(jnp.einsum("kl,ln->kn", C, e_end))

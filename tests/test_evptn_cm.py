@@ -171,3 +171,24 @@ def test_batched_update_cm_engine_matches_vmap_engine():
         a, b = np.asarray(out_cm[key]), np.asarray(out_vm[key])
         scale = max(np.abs(b).max(), 1e-12)
         assert np.abs(a - b).max() / scale < 5e-6, key
+
+
+def test_mixed_tangent_matches_f64():
+    """The equilibrated f32 tangent solve with f64 defect correction must
+    agree with the pure-f64 tangent to well below Newton-quality."""
+    import dataclasses
+    model64 = make_model(mixed_precision=False)
+    modelmx = dataclasses.replace(model64, mixed_precision=True)
+    n = 8
+    d, w, e, q, h = rand_inputs(n, seed=13)
+    v0 = jnp.ones(n)
+    v1 = jnp.ones(n) * 1.0003
+    ei = jnp.zeros(n)
+    # stiff regime: big dt so dt*slope dominates the Jacobian rows
+    dt = 0.5
+    out64 = EV.batched_update(model64, dt, d, w, v0, v1, ei, e, q, h, 298.0)
+    outmx = EV.batched_update(modelmx, dt, d, w, v0, v1, ei, e, q, h, 298.0)
+    a = np.asarray(outmx["tangent"])
+    b = np.asarray(out64["tangent"])
+    err = np.abs(a - b).max() / np.abs(b).max()
+    assert err < 1e-6, err
