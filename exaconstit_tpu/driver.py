@@ -520,9 +520,14 @@ class Simulation:
         self.props = props
         if opt.mech_type == MechType.UMAT:
             from .models.umat import UmatLibrary, UmatModel
+            # crystal UMATs carry the per-grain orientation rows inside the
+            # state-variable array (setStateVarData splice, see below)
+            self._ori_stride = {OriType.QUAT: 4, OriType.EULER: 3}.get(
+                opt.ori_type, opt.grain_custom_stride) if opt.cp else 0
             self.model = UmatModel(lib=UmatLibrary(opt.abspath(
                 opt.umat_library)), props=props,
-                num_user_state=opt.numStateVars, temp_k=opt.temp_k)
+                num_user_state=opt.numStateVars + self._ori_stride,
+                temp_k=opt.temp_k)
         else:
             self.model = build_model(opt, props)
         self.system = MechSystem(opt, self.mesh, self.model,
@@ -531,8 +536,32 @@ class Simulation:
         nq = fes.nqpts
 
         if opt.mech_type == MechType.UMAT:
-            state0 = self.model.init_state(
-                npts=fes.num_elems * nq)
+            # setStateVarData semantics (mechanics_driver.cpp:1058-1154):
+            # the state file provides numStateVars values broadcast to all
+            # points; for crystal UMATs (cp=true) the per-grain orientation
+            # rows (width = ori stride) are spliced in at
+            # grain_statevar_offset (ori_state_var_loc; <0 = end, 0 = front).
+            sv = np.loadtxt(opt.abspath(opt.state_file)).reshape(-1)
+            assert sv.size == opt.numStateVars, (
+                f"state file has {sv.size} values, expected "
+                f"{opt.numStateVars}")
+            if opt.cp:
+                ori = np.loadtxt(opt.abspath(opt.ori_file)).reshape(
+                    opt.ngrains, self._ori_stride)
+                loc = opt.grain_statevar_offset
+                if loc < 0:
+                    per_grain = np.concatenate(
+                        [np.tile(sv, (opt.ngrains, 1)), ori], axis=1)
+                else:
+                    per_grain = np.concatenate(
+                        [np.tile(sv[:loc], (opt.ngrains, 1)), ori,
+                         np.tile(sv[loc:], (opt.ngrains, 1))], axis=1)
+                grain_ids = self.mesh.elem_attr.astype(int) - 1
+                statev0 = np.repeat(per_grain[grain_ids], nq, axis=0)
+            else:
+                statev0 = np.tile(sv, (fes.num_elems * nq, 1))
+            state0 = self.model.init_state(npts=fes.num_elems * nq)
+            state0[:, 15:] = statev0
         else:
             # ---- orientations -> per-element quats ----
             ori = np.loadtxt(opt.abspath(opt.ori_file)).reshape(-1)
@@ -542,8 +571,20 @@ class Simulation:
                 quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)
             elif opt.ori_type == OriType.EULER:
                 quats = _euler_to_quat(ori.reshape(opt.ngrains, 3))
+            elif opt.ori_type == OriType.CUSTOM and \
+                    opt.grain_custom_stride == 4 and \
+                    opt.grain_statevar_offset == self.model.IND_QUATS:
+                # custom stride landing exactly on the model's quaternion
+                # slot (mechanics_driver.cpp:417-420 + the ExaCMech history
+                # layout) is just quaternion data by another name
+                quats = ori.reshape(opt.ngrains, 4)
+                quats = quats / np.linalg.norm(quats, axis=1, keepdims=True)
             else:
-                raise NotImplementedError("custom orientation stride")
+                raise ValueError(
+                    "ExaCMech models require quaternion orientation data "
+                    "in the history quaternion slot; got ori_type="
+                    f"{opt.ori_type} stride={opt.grain_custom_stride} "
+                    f"loc={opt.grain_statevar_offset}")
             grain_ids = self.mesh.elem_attr.astype(int) - 1
             elem_quats = quats[grain_ids]  # (nelems, 4)
             pt_quats = np.repeat(elem_quats, nq, axis=0)
@@ -779,6 +820,11 @@ def _euler_to_quat(euler):
 def run_simulation(toml_path: str, workdir: str | None = None,
                    verbose: bool = True):
     opt = parse_options(toml_path)
+    # Solvers.precision = "f32" switches the stack to native f32 for
+    # throughput runs (the EXACONSTIT_TPU_PRECISION env var, applied at
+    # import, takes priority if set explicitly).
+    if "EXACONSTIT_TPU_PRECISION" not in os.environ:
+        jax.config.update("jax_enable_x64", opt.precision != "f32")
     sim = Simulation(opt, workdir=workdir)
     sim.run(verbose=verbose)
     return sim

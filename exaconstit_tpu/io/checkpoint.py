@@ -2,8 +2,8 @@
 
 The reference has no checkpointing (SURVEY.md section 5 flags it as a
 gap: mechanics_driver.cpp:625-633 only mentions it as future work).  All
-simulation state is explicit here — (x_beg, v, stress, matVars, t, step)
-— so exact resume is a single archive write per interval.
+simulation state is explicit here — (x_beg, v, stress, matVars, t, step,
+active BC epoch) — so exact resume is a single archive write per interval.
 """
 
 from __future__ import annotations
@@ -15,8 +15,10 @@ import numpy as np
 
 def save_checkpoint(path: str, sim, t: float, ti: int):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(
-        path,
+    # active BC epoch: the last update step <= ti (BCManager semantics --
+    # cur_bcs stays fixed between update steps)
+    bc_epoch = max(s for s in sim.update_steps if s <= ti)
+    arrays = dict(
         x_beg=np.asarray(sim.x_beg),
         v=np.asarray(sim.v),
         state=np.asarray(sim.state),
@@ -24,17 +26,38 @@ def save_checkpoint(path: str, sim, t: float, ti: int):
         t=t,
         ti=ti,
         dt_auto_cur=sim.dt_auto_cur,
+        bc_epoch=bc_epoch,
     )
+    if hasattr(sim, "state_prev"):
+        arrays["state_prev"] = np.asarray(sim.state_prev)
+    np.savez_compressed(path, **arrays)
 
 
 def load_checkpoint(path: str, sim):
+    import jax
     import jax.numpy as jnp
 
     data = np.load(path)
-    sim.x_beg = jnp.asarray(data["x_beg"])
+
+    if sim.device_mesh is not None:
+        from ..parallel.sharding import elem_sharding, replicated
+        se, sr = elem_sharding(sim.device_mesh), replicated(sim.device_mesh)
+        put_e = lambda a: jax.device_put(jnp.asarray(a), se)
+        put_r = lambda a: jax.device_put(jnp.asarray(a), sr)
+    else:
+        put_e = put_r = jnp.asarray
+
+    sim.x_beg = put_r(data["x_beg"])
     sim.x_cur = sim.x_beg
-    sim.v = jnp.asarray(data["v"])
-    sim.state = jnp.asarray(data["state"])
-    sim.stress = jnp.asarray(data["stress"])
+    sim.v = put_r(data["v"])
+    sim.state = put_e(data["state"])
+    sim.stress = put_e(data["stress"])
+    if "state_prev" in data:
+        sim.state_prev = put_e(data["state_prev"])
     sim.dt_auto_cur = float(data["dt_auto_cur"])
+    # restore the active BC epoch: without this, a restart after a BC
+    # change silently resumes with the step-1 BCs until the next update
+    # step (the driver only assigns cur_bcs on update steps)
+    if "bc_epoch" in data:
+        sim.cur_bcs = sim.bc_steps[int(data["bc_epoch"])]
     return float(data["t"]), int(data["ti"])

@@ -87,21 +87,32 @@ def compute_element_fields(sim, light_up=False):
 
 
 def write_vis_step(sim, ti, t, entries):
-    """Write one visualization dump; appends to the PVD entry list."""
+    """Write one visualization dump.
+
+    Backend per requested format (mechanics_driver.cpp:637-817):
+    paraview/visit -> VTU + PVD time series; conduit/adios2 -> the binary
+    HDF5 data collection (io/hdf5_dc.py).
+    """
     import os
 
-    from .vtk import write_pvd, write_vtu
-
     base = sim.opt.basename
-    vtu_dir = os.path.join(sim.workdir, base)
-    vtu_name = f"step_{ti:06d}.vtu"
     fields = compute_element_fields(sim, light_up=sim.opt.light_up)
     # displacement as point data
     disp = np.asarray(sim.x_cur - sim.x_ref)
     vel = np.asarray(sim.v)
-    write_vtu(os.path.join(vtu_dir, vtu_name), np.asarray(sim.x_cur),
-              np.asarray(sim.mesh.conn), sim.mesh.order,
-              cell_fields=fields,
-              point_fields={"Displacement": disp, "Velocity": vel})
-    entries.append((t, os.path.join(base, vtu_name)))
-    write_pvd(os.path.join(sim.workdir, base + ".pvd"), entries)
+    points = {"Displacement": disp, "Velocity": vel}
+
+    if sim.opt.paraview or sim.opt.visit:
+        from .vtk import write_pvd, write_vtu
+        vtu_dir = os.path.join(sim.workdir, base)
+        vtu_name = f"step_{ti:06d}.vtu"
+        write_vtu(os.path.join(vtu_dir, vtu_name), np.asarray(sim.x_cur),
+                  np.asarray(sim.mesh.conn), sim.mesh.order,
+                  cell_fields=fields, point_fields=points)
+        entries.append((t, os.path.join(base, vtu_name)))
+        write_pvd(os.path.join(sim.workdir, base + ".pvd"), entries)
+    if sim.opt.conduit or sim.opt.adios2:
+        from .hdf5_dc import write_hdf5_step
+        write_hdf5_step(os.path.join(sim.workdir, base + ".h5"), ti, t,
+                        np.asarray(sim.x_cur), np.asarray(sim.mesh.conn),
+                        fields, points)

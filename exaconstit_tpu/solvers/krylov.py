@@ -46,13 +46,18 @@ def pcg(matvec, precond, b, rel_tol, abs_tol, max_iter):
         x, r, z, d, nom, it, done = state
         ad = matvec(d)
         den = jnp.vdot(d, ad)
-        alpha = nom / den
+        # breakdown guard (MFEM CGSolver does the same): if the operator
+        # is numerically not positive definite at this iterate — which in
+        # f32 also happens by underflow of (d, Ad) on tiny right-hand
+        # sides — stop without taking the (NaN/inf) step.
+        ok = den > 0.0
+        alpha = jnp.where(ok, nom / jnp.where(ok, den, 1.0), 0.0)
         x = x + alpha * d
         r = r - alpha * ad
         z = precond(r)
         betanom = jnp.vdot(r, z)
-        done = betanom <= r0
-        beta = betanom / nom
+        done = jnp.logical_or(betanom <= r0, jnp.logical_not(ok))
+        beta = jnp.where(ok, betanom / nom, 0.0)
         d = z + beta * d
         return (x, r, z, d, betanom, it + 1, done)
 
@@ -249,9 +254,16 @@ def pcg_refined(matvec, precond, matvec_lo, precond_lo, b, rel_tol, abs_tol,
     def body(state):
         x, r, nom, it, rounds, done = state
         budget = max_iter - it
-        dx, in_it, _ = pcg(matvec_lo, precond_lo, r.astype(lo), inner_rel,
-                           0.0, budget)
-        x = x + dx.astype(b.dtype)
+        # Normalize the inner right-hand side: late refinement rounds have
+        # ||r|| ~ 1e-8 ||b|| and the f32 PCG recurrences ((z,r), (d,Ad))
+        # square that, underflowing f32 to exact zero.  Solving for the
+        # direction of r restores the full f32 dynamic range.
+        rnorm = jnp.sqrt(jnp.vdot(r, r))
+        scale = jnp.where(rnorm > 0.0, rnorm, 1.0)
+        dx, in_it, _ = pcg(matvec_lo, precond_lo, (r / scale).astype(lo),
+                           inner_rel, 0.0, budget)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        x = x + scale * dx.astype(b.dtype)
         r = b - matvec(x)
         z = precond(r)
         nom = jnp.vdot(z, r)
