@@ -21,9 +21,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from .driver import run_simulation
+    from .utils.profiling import maybe_profile
 
     start = time.time()
-    sim = run_simulation(args.opt, verbose=not args.quiet)
+    with maybe_profile():  # Perfetto trace via EXACONSTIT_TPU_PROFILE_DIR
+        sim = run_simulation(args.opt, verbose=not args.quiet)
     elapsed = time.time() - start
     print(f"The process took {elapsed:f} seconds to run")
     # per-step solve timing log (mechanics_driver.cpp:982-998).

@@ -35,6 +35,7 @@ from .mesh.voxel import HexMesh, make_cartesian_mesh
 from .models.ecmech import ECMechModel, build_model
 from .solvers.krylov import gmres, minres, pcg, pcg_refined
 from .utils import tensors as tn
+from .utils.profiling import Regions
 
 
 # ----------------------------------------------------------------------------
@@ -131,6 +132,11 @@ class MechSystem:
         self.opt = opt
         self.fes = FESpace.create(mesh)
         self.model = model
+        # region wall-time accounting (Caliper equivalent, SURVEY.md §5);
+        # enabled with EXACONSTIT_TPU_REGIONS=1 (block_until_ready changes
+        # host/device pipelining, so it is opt-in)
+        self.regions = Regions() if os.environ.get(
+            "EXACONSTIT_TPU_REGIONS") else None
         self.dshape = jnp.asarray(self.fes.ref.dshape)
         self.qwts = jnp.asarray(self.fes.ref.qwts)
         self.assembly = opt.assembly
@@ -368,6 +374,18 @@ class MechSystem:
 
         self._vol_avg = jax.jit(vol_avg, static_argnums=(2,))
 
+    def _timed(self, name, fn, *args):
+        """Run fn; when region accounting is on, block + record wall time
+        (the analog of the reference's CALI_MARK_BEGIN/END pairs around
+        NR/Krylov/material phases, src/mechanics_log.hpp)."""
+        if self.regions is None:
+            return fn(*args)
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        self.regions.mark(name, time.perf_counter() - t0)
+        return out
+
     def make_jit_step(self, newton_iters=2):
         """One fully-jitted time step (fixed Newton iteration count).
 
@@ -409,8 +427,9 @@ class MechSystem:
         ess_flat = jnp.asarray(ess_mask.reshape(-1))
         # substep counts frozen at step entry (smooth residual over NR)
         nsub = self._compute_nsub(v, x_beg, dt)
-        r, k_data, diag, stress, state_end = self._setup(
-            v, x_beg, state, dt, ess_flat, True, nsub)
+        r, k_data, diag, stress, state_end = self._timed(
+            "operator_setup", self._setup, v, x_beg, state, dt, ess_flat,
+            True, nsub)
         norm = float(jnp.linalg.norm(r))
         norm0 = norm
         norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
@@ -428,16 +447,18 @@ class MechSystem:
                 break
             if it >= opt.newton_iter:
                 break
-            c, kit, kdone = self._krylov(k_data, diag, r, ess_flat)
+            c, kit, kdone = self._timed("krylov_solve", self._krylov,
+                                        k_data, diag, r, ess_flat)
             c = c.reshape(-1, 3)
             q1 = norm
 
             def quad_ls():
-                r3 = self._residual_only(v - c, x_beg, state, dt, ess_flat,
-                                         nsub)
+                r3 = self._timed("line_search", self._residual_only,
+                                 v - c, x_beg, state, dt, ess_flat, nsub)
                 q3 = float(jnp.linalg.norm(r3))
-                r2 = self._residual_only(v - 0.5 * c, x_beg, state, dt,
-                                         ess_flat, nsub)
+                r2 = self._timed("line_search", self._residual_only,
+                                 v - 0.5 * c, x_beg, state, dt, ess_flat,
+                                 nsub)
                 q2 = float(jnp.linalg.norm(r2))
                 denom = q1 - 2.0 * q2 + q3
                 eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom) \
@@ -451,18 +472,19 @@ class MechSystem:
             if always_ls:
                 scale = quad_ls()
                 v_new = v - scale * c
-                out = self._setup(v_new, x_beg, state, dt, ess_flat, True,
-                                  nsub)
+                out = self._timed("operator_setup", self._setup, v_new,
+                                  x_beg, state, dt, ess_flat, True, nsub)
             else:
                 v_new = v - c
-                out = self._setup(v_new, x_beg, state, dt, ess_flat, True,
-                                  nsub)
+                out = self._timed("operator_setup", self._setup, v_new,
+                                  x_beg, state, dt, ess_flat, True, nsub)
                 q_full = float(jnp.linalg.norm(out[0]))
                 if not np.isfinite(q_full) or q_full > 0.5 * q1:
                     scale = quad_ls()
                     if scale != 1.0:
                         v_new = v - scale * c
-                        out = self._setup(v_new, x_beg, state, dt, ess_flat,
+                        out = self._timed("operator_setup", self._setup,
+                                          v_new, x_beg, state, dt, ess_flat,
                                           True, nsub)
 
             v = v_new
@@ -802,6 +824,8 @@ class Simulation:
             if last:
                 break
             ti += 1
+        if self.system.regions is not None:
+            print(self.system.regions.report())
         return t
 
 

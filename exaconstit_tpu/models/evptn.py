@@ -86,6 +86,17 @@ class EvptnModel:
     #              (NOT what the goldens used).
     hardness_mode: str = "staggered"
     stagger_iters: int = 1
+    # hardness update cadence under sub-incrementation:
+    #   True  -> advance h after every substep (each (e, xi) substep sees
+    #            the previous substep's updated hardness)
+    #   False -> freeze h at its step-begin value for ALL substeps, then
+    #            integrate it once over the full dt from the final slip
+    #            rates — the sub-incrementation applies to the strain /
+    #            rotation update only.  Identified against the reference
+    #            goldens (scripts/identify_substeps.py): the per-substep
+    #            cadence drifts ~dt^2 from the golden curves in the
+    #            ramp-tail (dt >= 0.2) steps.
+    h_per_substep: bool = True
     # time-integration weight for the plastic-flow term in the elastic
     # strain update: 1.0 = backward Euler, 0.5 = trapezoidal
     flow_theta: float = 1.0
@@ -340,8 +351,9 @@ def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
             x, h_used, h, it_tot, conv = carry
             h_used = h
             x, ok, iters, _ = solve_exi(h)
-            gd = _gdots_of(model, x, h, temp_k)
-            h = model.kinetics.update_h(h_c, gd, dt_sub, temp_k)
+            if model.h_per_substep:
+                gd = _gdots_of(model, x, h, temp_k)
+                h = model.kinetics.update_h(h_c, gd, dt_sub, temp_k)
             return (x, h_used, h, it_tot + iters,
                     jnp.logical_and(conv, ok))
 
@@ -373,6 +385,11 @@ def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
     xi_total = tn.quat_to_expmap(
         tn.quat_multiply(tn.quat_conjugate(q_n), q))
     x = jnp.concatenate([e, xi_total])
+    if not model.h_per_substep:
+        # single full-dt hardness update from the final slip rates
+        gd = _gdots_of(model, x, h_n, temp_k)
+        h = model.kinetics.update_h(h_n, gd, dt, temp_k)
+        h_used = h_n
     return x, h, h_used, its, conv
 
 

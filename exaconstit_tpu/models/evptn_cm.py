@@ -456,13 +456,14 @@ def solve_staggered_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
             x, h_used, h, it_tot, conv = carry
             h_used = h
             x, ok, iters = solve_exi(h)
-            # gdots at the solution (with the hardness the solve saw)
-            C = jnp.asarray(np.asarray(model.elast.C_dev), dtype)
-            P = jnp.asarray(np.asarray(model.slip.P), dtype)
-            taus = jnp.einsum("sk,kl,ln->sn", P, C, x[:5])
-            gd = _kinetics_eval(model, taus, h, temp_k, False)
-            h_new = kin.update_h(h_c.T, gd.T, dt_sub[:, None], temp_k).T
-            return (x, h_used, h_new, it_tot + iters,
+            if model.h_per_substep:
+                # gdots at the solution (with the hardness the solve saw)
+                C = jnp.asarray(np.asarray(model.elast.C_dev), dtype)
+                P = jnp.asarray(np.asarray(model.slip.P), dtype)
+                taus = jnp.einsum("sk,kl,ln->sn", P, C, x[:5])
+                gd = _kinetics_eval(model, taus, h, temp_k, False)
+                h = kin.update_h(h_c.T, gd.T, dt_sub[:, None], temp_k).T
+            return (x, h_used, h, it_tot + iters,
                     jnp.logical_and(conv, ok))
 
         x, h_used, h_new, its, conv = jax.lax.fori_loop(
@@ -496,6 +497,16 @@ def solve_staggered_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
               jnp.zeros((N,), jnp.int32), jnp.ones((N,), bool))
     _, e, q, h, h_used, its, conv = jax.lax.while_loop(
         sub_cond, sub_body, carry0)
+
+    if not model.h_per_substep:
+        # single full-dt hardness update from the final slip rates (the
+        # substeps all ran against the frozen step-begin hardness)
+        C = jnp.asarray(np.asarray(model.elast.C_dev), dtype)
+        P = jnp.asarray(np.asarray(model.slip.P), dtype)
+        taus = jnp.einsum("sk,kl,ln->sn", P, C, e)
+        gd = _kinetics_eval(model, taus, h0, temp_k, False)
+        h = kin.update_h(h0.T, gd.T, dt, temp_k).T
+        h_used = h0
 
     # total rotation increment back in expmap form
     qc = q0 * jnp.asarray([1.0, -1.0, -1.0, -1.0],

@@ -1,0 +1,131 @@
+"""Mesh IO tests: MFEM reader + uniform refinement + Neper converter."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+UNIT_HEX_MESH = """MFEM mesh v1.0
+
+dimension
+3
+
+elements
+1
+7 5 0 1 2 3 4 5 6 7
+
+boundary
+6
+1 3 0 3 2 1
+4 3 4 5 6 7
+2 3 0 4 7 3
+5 3 1 2 6 5
+3 3 0 1 5 4
+6 3 3 7 6 2
+
+vertices
+8
+3
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+0 0 1
+1 0 1
+1 1 1
+0 1 1
+"""
+
+
+def test_read_and_refine_unit_hex(tmp_path):
+    from exaconstit_tpu.mesh.mfem_io import read_mfem_mesh
+    from exaconstit_tpu.mesh.voxel import make_cartesian_mesh
+
+    p = tmp_path / "unit.mesh"
+    p.write_text(UNIT_HEX_MESH)
+    m0 = read_mfem_mesh(str(p))
+    assert m0.num_elems == 1 and m0.num_nodes == 8
+    assert m0.elem_attr[0] == 7
+
+    m1 = read_mfem_mesh(str(p), ref_levels=1)
+    assert m1.num_elems == 8 and m1.num_nodes == 27
+    assert (m1.elem_attr == 7).all()
+    # volume preserved
+    ref = make_cartesian_mesh([1, 1, 1], [1.0, 1.0, 1.0], ref_levels=1)
+    got = np.array(sorted(map(tuple, m1.coords)))
+    want = np.array(sorted(map(tuple, ref.coords)))
+    np.testing.assert_allclose(got, want, atol=1e-14)
+    # boundary sets: every face of the refined cube has 9 nodes, and the
+    # node coordinates match the voxel generator's convention per attr
+    for attr in range(1, 7):
+        assert len(m1.bdr_nodes[attr]) == 9
+        got_f = np.array(sorted(map(tuple, m1.coords[m1.bdr_nodes[attr]])))
+        want_f = np.array(sorted(map(tuple,
+                                     ref.coords[ref.bdr_nodes[attr]])))
+        np.testing.assert_allclose(got_f, want_f, atol=1e-14)
+
+    m2 = read_mfem_mesh(str(p), ref_levels=2)
+    assert m2.num_elems == 64 and m2.num_nodes == 125
+
+
+NEPER_GMSH = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+12
+1 0 0 0
+2 1 0 0
+3 2 0 0
+4 0 1 0
+5 1 1 0
+6 2 1 0
+7 0 0 1
+8 1 0 1
+9 2 0 1
+10 0 1 1
+11 1 1 1
+12 2 1 1
+$EndNodes
+$Elements
+2
+1 5 2 3 1 1 2 5 4 7 8 11 10
+2 5 2 4 2 2 3 6 5 8 9 12 11
+$EndElements
+$Fasets
+2
+x0
+1
+1 1 4 10 7
+z0
+2
+2 1 2 5 4
+3 2 3 6 5
+$EndFasets
+"""
+
+
+def test_neper_converter(tmp_path):
+    from exaconstit_tpu.mesh.mfem_io import read_mfem_mesh
+
+    src = tmp_path / "n2.msh"
+    src.write_text(NEPER_GMSH)
+    out = tmp_path / "n2.mesh"
+    gfile = tmp_path / "grains.txt"
+    script = os.path.join(REPO, "scripts", "meshing", "neper_v4_mesh.py")
+    subprocess.run(
+        [sys.executable, script, "-ifile", str(src), "-ofile", str(out),
+         "--grain-file", str(gfile), "--exaconstit-attrs"], check=True)
+
+    mesh = read_mfem_mesh(str(out))
+    assert mesh.num_elems == 2 and mesh.num_nodes == 12
+    # grains from the gmsh physical tag
+    assert list(mesh.elem_attr) == [3, 4]
+    assert [int(g) for g in np.loadtxt(gfile)] == [3, 4]
+    # x0 faset -> attr 2; z0 -> attr 1 (ExaConstit convention)
+    x0 = mesh.coords[mesh.bdr_nodes[2]]
+    assert np.allclose(x0[:, 0], 0.0)
+    z0 = mesh.coords[mesh.bdr_nodes[1]]
+    assert np.allclose(z0[:, 2], 0.0) and len(z0) == 6
