@@ -272,6 +272,9 @@ def _parse_properties(opt: ExaOptions, data: dict):
         opt.grain_statevar_offset = int(grain.get("ori_state_var_loc", -1))
         opt.grain_custom_stride = int(grain.get("ori_stride", 0))
         ori_type = str(grain.get("ori_type", "euler")).lower()
+        # same aliases the reference accepts (option_parser.cpp:123-132)
+        ori_type = {"quaternion": "quat", "quats": "quat"}.get(ori_type,
+                                                               ori_type)
         try:
             opt.ori_type = OriType(ori_type)
         except ValueError:
