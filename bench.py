@@ -1,13 +1,22 @@
-"""Benchmark: quadrature-point crystal-plasticity material evals/sec/chip.
+"""Benchmark: the two north-star metrics (BASELINE.md) on one chip.
 
-North-star metric from BASELINE.json.  Runs the full fused compute step
-(material solve + consistent tangent + residual + EA assembly) at a
-production-ish batch on whatever device JAX provides (the real TPU chip
-under axon), measures steady-state throughput, and prints one JSON line.
+1. ``qpt_material_evals_per_sec_per_chip`` — steady-state throughput of
+   the fused compute step (material solve + consistent tangent +
+   residual + EA assembly) at a 4k-element batch.  Same measurement
+   protocol as round 1, so ``vs_baseline`` (against the recorded round-1
+   first measurement in bench_baseline.json) tracks progress.
+2. ``newton_krylov_step_seconds`` — wall time of one production
+   (host-adaptive) Newton–Krylov time step on a 32^3-element /
+   262k-quadrature-point mesh in the developed plastic-flow regime —
+   the reference's per-step ``time_solve`` measurement
+   (mechanics_driver.cpp:982-998) at a production-sized problem.
 
-The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
-ratio against the recorded best from round 1 (kept in bench_baseline.json
-so later rounds track progress against it).
+Plus FLOP accounting from XLA's cost model for the fused step
+(``fused_step_gflops_per_s`` and ``mfu_bf16`` = fraction of the chip's
+bf16 peak; the solver is mixed f32/f64 so this is a lower bound on
+arithmetic efficiency, reported for the roofline discussion).
+
+Prints ONE JSON line; extra metrics ride as additional keys.
 """
 
 import json
@@ -20,6 +29,75 @@ import jax
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
+PEAK_BF16 = 197e12  # TPU v5e chip peak (bf16 FLOP/s)
+
+
+def material_throughput(system, v0, x0, state, ess_flat):
+    """Round-1 protocol: fused jit step at [16,16,16], 3 setups/step."""
+    nqpts_total = system.ne_pad * system.fes.nqpts
+    step = system.make_jit_step(newton_iters=2)
+    evals_per_step = 3 * nqpts_total
+
+    # develop plastic flow; dt ramps keep each device execution under the
+    # ~60s axon watchdog
+    v, x, st = v0, x0, state
+    for dt in (0.005, 0.01, 0.02, 0.05):
+        v, x, _, st, _ = step(v, x, st, dt, ess_flat)
+        jax.block_until_ready(st)
+    dt = 0.05
+    out = step(v, x, st, dt, ess_flat)
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(v, x, st, dt, ess_flat)
+        jax.block_until_ready(out)
+    secs = (time.perf_counter() - t0) / reps
+
+    # XLA cost-model FLOPs of the compiled fused step (for MFU/roofline)
+    flops = None
+    try:
+        comp = jax.jit(step.__wrapped__).lower(v, x, st, dt,
+                                               ess_flat).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    return evals_per_step / secs, secs, flops
+
+
+def newton_step_time(ncuts=(32, 32, 32)):
+    """One adaptive Newton-Krylov step at production size, plastic flow."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _tiny_problem
+
+    system, v0, x0, state, ess_flat = _tiny_problem(list(ncuts))
+    ess = np.asarray(ess_flat).reshape(-1, 3)
+
+    # develop flow with the fixed-iteration step (cheap warmup)
+    step = system.make_jit_step(newton_iters=2)
+    v, x, st = v0, x0, state
+    for dt in (0.005, 0.02, 0.05):
+        v, x, _, st, _ = step(v, x, st, dt, ess_flat)
+        jax.block_until_ready(st)
+
+    # measured: the production host-adaptive Newton solve (newton_solve
+    # compiles the same kernels the fixed step used; first call pays any
+    # residual compilation, so time the second)
+    t_steps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        v, stress, st2, conv, nit, _ = system.newton_solve(
+            v, x, st, 0.05, ess, verbose=False)
+        jax.block_until_ready(stress)
+        t_steps.append(time.perf_counter() - t0)
+        x = x + 0.05 * v
+        st = st2
+    npts = system.ne_pad * system.fes.nqpts
+    return t_steps[-1], npts, nit
 
 
 def main():
@@ -27,50 +105,37 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _tiny_problem
 
-    # 4k elements -> 33k quadrature points per step
     system, v0, x0, state, ess_flat = _tiny_problem([16, 16, 16])
-    nqpts_total = system.ne_pad * system.fes.nqpts
+    evals_s, step_secs, flops = material_throughput(system, v0, x0, state,
+                                                    ess_flat)
 
-    step = system.make_jit_step(newton_iters=2)
-    evals_per_step = 3 * nqpts_total  # setup runs 3x per jit_step
+    nk_secs, nk_npts, nk_iters = newton_step_time()
 
-    # compile + develop plastic flow so the measurement reflects production
-    # conditions (the material solve is iteration-bound in the flow regime).
-    # dt ramps so no single device execution exceeds the ~60s axon watchdog.
-    v, x, st = v0, x0, state
-    for dt in (0.005, 0.01, 0.02, 0.05):
-        v, x, _, st, _ = step(v, x, st, dt, ess_flat)
-        jax.block_until_ready(st)
-    dt = 0.05
-    v0, x0, state = v, x, st
-    out = step(v0, x0, state, dt, ess_flat)
-    jax.block_until_ready(out)
-
-    # measure steady state
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step(v0, x0, state, dt, ess_flat)
-        jax.block_until_ready(out)
-    dt_s = (time.perf_counter() - t0) / reps
-
-    value = evals_per_step / dt_s
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f).get("value")
-    vs_baseline = value / baseline if baseline else 1.0
+    vs_baseline = evals_s / baseline if baseline else 1.0
     if baseline is None:
         with open(BASELINE_FILE, "w") as f:
-            json.dump({"value": value,
+            json.dump({"value": evals_s,
                        "metric": "qpt_material_evals_per_sec_per_chip"}, f)
 
-    print(json.dumps({
+    out = {
         "metric": "qpt_material_evals_per_sec_per_chip",
-        "value": value,
+        "value": evals_s,
         "unit": "evals/s",
         "vs_baseline": vs_baseline,
-    }))
+        "newton_krylov_step_seconds": nk_secs,
+        "newton_step_qpts": nk_npts,
+        "newton_step_iters": nk_iters,
+        "newton_step_qpt_evals_per_s": nk_npts * max(nk_iters, 1) / nk_secs,
+    }
+    if flops:
+        out["fused_step_gflops"] = flops / 1e9
+        out["fused_step_gflops_per_s"] = flops / step_secs / 1e9
+        out["mfu_bf16"] = flops / step_secs / PEAK_BF16
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

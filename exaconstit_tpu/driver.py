@@ -374,6 +374,12 @@ class MechSystem:
 
         self._vol_avg = jax.jit(vol_avg, static_argnums=(2,))
 
+        def norm_fn(r):
+            return jnp.linalg.norm(r)
+
+        self._norm_raw = norm_fn
+        self._norm = jax.jit(norm_fn)
+
     def _timed(self, name, fn, *args):
         """Run fn; when region accounting is on, block + record wall time
         (the analog of the reference's CALI_MARK_BEGIN/END pairs around
@@ -406,7 +412,7 @@ class MechSystem:
             r, kd, dg, stress, state_end = self._setup_raw(
                 v, x_beg, state, dt, ess_flat, True, nsub)
             x_cur = x_beg + dt * v
-            return v, x_cur, stress, state_end, jnp.linalg.norm(r)
+            return v, x_cur, stress, state_end, self._norm_raw(r)
 
         return jax.jit(step)
 
@@ -430,7 +436,7 @@ class MechSystem:
         r, k_data, diag, stress, state_end = self._timed(
             "operator_setup", self._setup, v, x_beg, state, dt, ess_flat,
             True, nsub)
-        norm = float(jnp.linalg.norm(r))
+        norm = float(self._norm(r))
         norm0 = norm
         norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
         it = 0
@@ -455,11 +461,11 @@ class MechSystem:
             def quad_ls():
                 r3 = self._timed("line_search", self._residual_only,
                                  v - c, x_beg, state, dt, ess_flat, nsub)
-                q3 = float(jnp.linalg.norm(r3))
+                q3 = float(self._norm(r3))
                 r2 = self._timed("line_search", self._residual_only,
                                  v - 0.5 * c, x_beg, state, dt, ess_flat,
                                  nsub)
-                q2 = float(jnp.linalg.norm(r2))
+                q2 = float(self._norm(r2))
                 denom = q1 - 2.0 * q2 + q3
                 eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom) \
                     if denom != 0 else 1.0
@@ -478,7 +484,7 @@ class MechSystem:
                 v_new = v - c
                 out = self._timed("operator_setup", self._setup, v_new,
                                   x_beg, state, dt, ess_flat, True, nsub)
-                q_full = float(jnp.linalg.norm(out[0]))
+                q_full = float(self._norm(out[0]))
                 if not np.isfinite(q_full) or q_full > 0.5 * q1:
                     scale = quad_ls()
                     if scale != 1.0:
@@ -489,7 +495,7 @@ class MechSystem:
 
             v = v_new
             r, k_data, diag, stress, state_end = out
-            norm = float(jnp.linalg.norm(r))
+            norm = float(self._norm(r))
             it += 1
 
         return v, stress, state_end, converged, it, norm

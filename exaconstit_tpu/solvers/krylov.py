@@ -24,16 +24,20 @@ import jax
 import jax.numpy as jnp
 
 
-def pcg(matvec, precond, b, rel_tol, abs_tol, max_iter):
+def pcg(matvec, precond, b, rel_tol, abs_tol, max_iter, dot=None):
     """MFEM-semantics preconditioned conjugate gradients; solves A x = b.
 
-    Returns (x, iters, converged).
+    ``dot`` overrides the inner product (distributed callers inside
+    shard_map pass an owner-masked psum dot).  Returns (x, iters,
+    converged).
     """
+    if dot is None:
+        dot = jnp.vdot
     x = jnp.zeros_like(b)
     r = b  # x0 = 0
     z = precond(r)
     d = z
-    nom0 = jnp.vdot(z, r)
+    nom0 = dot(z, r)
     nom = nom0
     r0 = jnp.maximum(nom0 * rel_tol * rel_tol,
                      jnp.asarray(abs_tol * abs_tol, b.dtype))
@@ -45,7 +49,7 @@ def pcg(matvec, precond, b, rel_tol, abs_tol, max_iter):
     def body(state):
         x, r, z, d, nom, it, done = state
         ad = matvec(d)
-        den = jnp.vdot(d, ad)
+        den = dot(d, ad)
         # breakdown guard (MFEM CGSolver does the same): if the operator
         # is numerically not positive definite at this iterate — which in
         # f32 also happens by underflow of (d, Ad) on tiny right-hand
@@ -55,7 +59,7 @@ def pcg(matvec, precond, b, rel_tol, abs_tol, max_iter):
         x = x + alpha * d
         r = r - alpha * ad
         z = precond(r)
-        betanom = jnp.vdot(r, z)
+        betanom = dot(r, z)
         done = jnp.logical_or(betanom <= r0, jnp.logical_not(ok))
         beta = jnp.where(ok, betanom / nom, 0.0)
         d = z + beta * d
@@ -224,7 +228,7 @@ def gmres(matvec, precond, b, rel_tol, abs_tol, max_iter, restart=50):
 
 
 def pcg_refined(matvec, precond, matvec_lo, precond_lo, b, rel_tol, abs_tol,
-                max_iter, inner_rel=1e-4, max_rounds=6):
+                max_iter, inner_rel=1e-4, max_rounds=6, dot=None):
     """Mixed-precision PCG: f32 inner solves + f64 iterative refinement.
 
     TPU f64 is emulated (~10x the f32 op cost), but a Krylov solve only
@@ -239,9 +243,11 @@ def pcg_refined(matvec, precond, matvec_lo, precond_lo, b, rel_tol, abs_tol,
     matvec/precond: f64; matvec_lo/precond_lo: f32 equivalents.
     Returns (x, total_inner_iters, converged).
     """
+    if dot is None:
+        dot = jnp.vdot
     lo = jnp.float32
     z0 = precond(b)
-    nom0 = jnp.vdot(z0, b)
+    nom0 = dot(z0, b)
     r0bar = jnp.maximum(nom0 * rel_tol * rel_tol,
                         jnp.asarray(abs_tol * abs_tol, b.dtype))
 
@@ -258,15 +264,15 @@ def pcg_refined(matvec, precond, matvec_lo, precond_lo, b, rel_tol, abs_tol,
         # ||r|| ~ 1e-8 ||b|| and the f32 PCG recurrences ((z,r), (d,Ad))
         # square that, underflowing f32 to exact zero.  Solving for the
         # direction of r restores the full f32 dynamic range.
-        rnorm = jnp.sqrt(jnp.vdot(r, r))
+        rnorm = jnp.sqrt(dot(r, r))
         scale = jnp.where(rnorm > 0.0, rnorm, 1.0)
         dx, in_it, _ = pcg(matvec_lo, precond_lo, (r / scale).astype(lo),
-                           inner_rel, 0.0, budget)
+                           inner_rel, 0.0, budget, dot=dot)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         x = x + scale * dx.astype(b.dtype)
         r = b - matvec(x)
         z = precond(r)
-        nom = jnp.vdot(z, r)
+        nom = dot(z, r)
         return (x, r, nom, it + in_it, rounds + 1, nom <= r0bar)
 
     state = (jnp.zeros_like(b), b, nom0, jnp.asarray(0), jnp.asarray(0),
