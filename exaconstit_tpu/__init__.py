@@ -23,6 +23,12 @@ Numerical parity targets the reference test suite
 
 import os
 
+# XLA's AOT cache loader logs a full machine-feature dump (at ERROR level)
+# on every persistent-cache hit when the cache entry was built with
+# different tuning flags; it is cosmetic (the entry still loads) but floods
+# test logs.  Opt out of C++ log spam unless the user asked for it.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 # The reference (MFEM/hypre/ExaCMech) is strictly double precision; the
 # regression bar is 1e-10 absolute on volume-averaged stress.  TPU f64 is
 # emulated but correct; a documented mixed-precision mode exists for

@@ -107,7 +107,18 @@ class EvptnModel:
     # was identified against the reference goldens — see
     # ECMechModel.substep_counts (models/ecmech.py) for the evidence.
     substep_cap: float = 0.1
-    max_substeps: int = 32
+    # Identified against the goldens (scripts/probe_step22*.py,
+    # /tmp/substep_id.json sweep): the reference caps its internal
+    # sub-incrementation at 8 — at dt=1.0 the golden tracks 8 substeps
+    # (6e-5) while floor(dt/0.1)=10 lands 9.2e-4 away; dt<=0.6 matches
+    # floor(dt/0.1) exactly.
+    max_substeps: int = 8
+    # h-update slip-rate source (experimental, for scheme identification
+    # against the reference goldens; vmap engine only):
+    #   "converged" -> gdots at the substep's converged (e, xi) (production)
+    #   "gd_begin"  -> gdots at the substep's BEGIN state (the stored rates)
+    #   "h_forward" -> converged gdots, explicit (forward-Euler) h update
+    h_gd_source: str = "converged"
     # mixed precision: run the stiff trust-region iteration in f32 (fast on
     # TPU, where f64 is emulated), then polish with a few plain f64 Newton
     # steps -- full f64 accuracy (validated ~3e-8 rel stress vs pure f64)
@@ -352,8 +363,17 @@ def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
             h_used = h
             x, ok, iters, _ = solve_exi(h)
             if model.h_per_substep:
-                gd = _gdots_of(model, x, h, temp_k)
-                h = model.kinetics.update_h(h_c, gd, dt_sub, temp_k)
+                if model.h_gd_source == "gd_begin":
+                    x_beg = jnp.concatenate(
+                        [e_c, jnp.zeros(3, dtype=dtype)])
+                    gd = _gdots_of(model, x_beg, h, temp_k)
+                else:
+                    gd = _gdots_of(model, x, h, temp_k)
+                if model.h_gd_source == "h_forward":
+                    h = model.kinetics.update_h_explicit(
+                        h_c, gd, dt_sub, temp_k)
+                else:
+                    h = model.kinetics.update_h(h_c, gd, dt_sub, temp_k)
             return (x, h_used, h, it_tot + iters,
                     jnp.logical_and(conv, ok))
 
@@ -554,7 +574,13 @@ def batched_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1,
     # scalar (uniform) counts broadcast to the batch
     nsub = jnp.broadcast_to(jnp.asarray(nsub, jnp.int32),
                             (d_vecd_sm.shape[0],))
-    if model.engine == "cm" and model.hardness_mode == "staggered":
+    # the component-major engine implements the production scheme only
+    # (backward-Euler flow, one-pass lagged hardness); experimental knobs
+    # route to the per-point vmap engine rather than being silently ignored
+    cm_ok = (model.engine == "cm" and model.hardness_mode == "staggered"
+             and model.flow_theta == 1.0
+             and model.h_gd_source == "converged")
+    if cm_ok:
         from . import evptn_cm
         x, h_end, h_used, iters, ok = evptn_cm.solve_staggered_cm(
             model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, temp_k, nsub)

@@ -159,6 +159,13 @@ class VocePL:
         gs = self._gsat(shrate)
         return h - h_n - self._hdot(h, gs) * shrate * dt
 
+    def update_h_explicit(self, h_n, gdots, dt, temp_k):
+        """Forward-Euler hardness update (scheme-identification probe)."""
+        del temp_k
+        shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
+        gs = self._gsat(shrate)
+        return h_n + self._hdot(h_n, gs) * shrate * dt
+
     def update_h(self, h_n, gdots, dt, temp_k):
         """Implicit (backward-Euler) hardness update given converged gdots.
 

@@ -77,7 +77,7 @@ def mock_c6(ne, nq, kind):
     return np.tile(c, (ne, nq, 1, 1))
 
 
-@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("order", [1, 2, 3])
 @pytest.mark.parametrize("kind", ["ones", "cubic"])
 def test_pa_ea_fa_equivalence(order, kind):
     fes = curved_fes(order)
@@ -117,6 +117,35 @@ def test_pa_ea_fa_equivalence(order, kind):
     d_pa_diag = np.asarray(ops.pa_diagonal(jnp.asarray(el_x), dshape, qwts,
                                            jnp.asarray(c6), dt))
     assert np.abs(d_pa_diag - d_ref).max() / np.abs(d_ref).max() < 1e-13
+
+
+def test_pa_ea_equivalence_order6():
+    """Order-6 PA == EA cross-check (reference runs orders 3 and 6,
+    test/mechanics_test.cpp:54,187; the dense numpy FA reference is too
+    slow at order 6, but PA and EA are independent formulations whose
+    agreement at 1e-13 on a curved element exercises the same paths)."""
+    mesh = make_cartesian_mesh([1, 1, 1], [1.0] * 3, order=6)
+    rng = np.random.default_rng(17)
+    coords = mesh.coords.copy()
+    interior = np.all((coords > 1e-12) & (coords < 1 - 1e-12), axis=1)
+    coords[interior] += 0.02 * rng.uniform(-1, 1, coords[interior].shape)
+    mesh.coords[:] = coords
+    fes = FESpace.create(mesh)
+    el_x = np.asarray(fes.gather(jnp.asarray(fes.mesh.coords)))
+    ne, nq = fes.num_elems, fes.nqpts
+    c6 = mock_c6(ne, nq, "cubic")
+    dshape = jnp.asarray(fes.ref.dshape)
+    qwts = jnp.asarray(fes.ref.qwts)
+    el_u = jnp.asarray(rng.normal(size=(ne, fes.nnodes_per_elem, 3)))
+
+    d_pa = ops.assemble_pa_gradient(jnp.asarray(el_x), dshape, qwts,
+                                    jnp.asarray(c6), 0.37)
+    y_pa = np.asarray(ops.apply_pa_gradient(d_pa, dshape, el_u))
+    k_ea = ops.assemble_ea_gradient(jnp.asarray(el_x), dshape, qwts,
+                                    jnp.asarray(c6), 0.37)
+    y_ea = np.asarray(ops.apply_ea_gradient(k_ea, el_u))
+    scale = np.abs(y_ea).max()
+    assert np.abs(y_pa - y_ea).max() / scale < 2e-13
 
 
 def test_residual_force_vs_numpy():
