@@ -20,6 +20,18 @@ def main(argv=None):
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
+    # Multi-host SPMD: the reference is an MPI code (MPI_Init,
+    # mechanics_driver.cpp:119); the TPU-native equivalent is
+    # jax.distributed over ICI/DCN.  Initialize whenever a multi-process
+    # launcher provided coordination env (jax's own JAX_COORDINATOR_*, or
+    # explicit EXACONSTIT_TPU_DIST=1 with standard cluster envs) so every
+    # jitted collective below spans all processes' devices.
+    import os as _os
+    if (_os.environ.get("EXACONSTIT_TPU_DIST") == "1"
+            or _os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        import jax
+        jax.distributed.initialize()
+
     from .driver import run_simulation
     from .utils.profiling import maybe_profile
 

@@ -53,8 +53,11 @@ def build_frozen(xtal, rho):
     return dataclasses.replace(m, evptn=ev)
 
 
-def flow_point(model, quats, w, nsteps=6, dt=0.1):
-    """Developed flow stress + aggregate slip rate at frozen density."""
+def flow_point(model, quats, w, nsteps=40, dt=0.1, settle=2e-5):
+    """Developed flow stress + aggregate slip rate at frozen density.
+
+    Steps until the stress increment per step falls below ``settle``
+    (i.e., the elastic transient is fully developed), up to ``nsteps``."""
     n = quats.shape[0]
     state = jnp.asarray(model.init_state(quats))
     wj = jnp.asarray(w)
@@ -74,7 +77,8 @@ def flow_point(model, quats, w, nsteps=6, dt=0.1):
         return s_end, lat, szz, shr
 
     beta = 0.4
-    for _ in range(nsteps):
+    szz_prev = 0.0
+    for k in range(nsteps):
         b0, b1 = beta, beta + 0.02
         _, f0, _, _ = step(state, b0)
         _, f1, _, _ = step(state, b1)
@@ -86,7 +90,11 @@ def flow_point(model, quats, w, nsteps=6, dt=0.1):
             _, f1, _, _ = step(state, b1)
         state, _, szz, shr = step(state, b1)
         beta = b1
-    return float(szz), float(shr)
+        szz, shr = float(szz), float(shr)
+        if k >= 3 and abs(szz - szz_prev) < settle:
+            break
+        szz_prev = szz
+    return szz, shr
 
 
 def main():
