@@ -134,6 +134,15 @@ class EvptnModel:
     # "vmap" -> per-point formulation vmapped over the batch (reference
     #           implementation; also used for the coupled hardness mode)
     engine: str = "cm"
+    # consistent-tangent provenance (see evptn_cm.tangent_cm):
+    # "lagged"  -> exact derivative of the production staggered map (the
+    #              (e, xi) system at the frozen h the final pass solved
+    #              against) — matches ExaCMech's SNLS-Jacobian ddsdde and
+    #              is the only FD-consistent choice for the stiff MTSDD
+    #              kinetics
+    # "coupled" -> IFT over the coupled (e, xi, h) system (the exact
+    #              derivative of hardness_mode="coupled")
+    tangent_mode: str = "lagged"
 
     @property
     def nslip(self):
@@ -594,7 +603,7 @@ def batched_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1,
         if compute_tangent:
             out["tangent"] = evptn_cm.tangent_cm(
                 model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x, h_end,
-                v1, temp_k)
+                v1, temp_k, h_used=h_used)
         return out
     fn = partial(point_update, model, compute_tangent=compute_tangent)
     return jax.vmap(

@@ -395,19 +395,26 @@ def solve_staggered_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
     Returns (x (N, 8), h_end (N, nh), h_used (N, nh), iters (N,),
     conv (N,)).
     """
-    N = d_vecd_sm.shape[0]
-    dtype = d_vecd_sm.dtype
-    # to component-major
-    d_cm = d_vecd_sm.T  # (5, N)
-    w_cm = w_vec_sm.T  # (3, N)
+    x, h, h_used, its, conv = solve_staggered_cm_core(
+        model, dt, d_vecd_sm.T, w_vec_sm.T, e_n.T, q_n.T, h_n.T, temp_k,
+        nsub)
+    return x.T, h.T, h_used.T, its, conv
+
+
+def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
+                            nsub):
+    """Batched staggered solve, component-major io (c, N) arrays.
+
+    Returns (x (8, N), h_end (nh, N), h_used (nh, N), iters (N,),
+    conv (N,)).
+    """
+    N = d_cm.shape[1]
+    dtype = d_cm.dtype
     Dsm = vecd_to_mat_cm(d_cm)  # (3, 3, N)
-    e0 = e_n.T
-    q0 = q_n.T
-    h0 = h_n.T
     nsub = jnp.asarray(nsub, jnp.int32)
     max_sub = model.max_substeps if model.substep_cap > 0.0 else 1
     dt_sub = dt / nsub.astype(dtype)  # (N,)
-    deff = tn.vecd_deff(d_vecd_sm)  # (N,)
+    deff = jnp.sqrt(2.0 / 3.0 * jnp.sum(d_cm * d_cm, axis=0))  # (N,)
 
     use_mixed = model.mixed_precision and dtype == jnp.float64
     kin = model.kinetics
@@ -541,16 +548,40 @@ def _vecd_rot5_cm(R):
 
 
 def tangent_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x_sol, h_sol,
-               v1, temp_k):
+               v1, temp_k, h_used=None):
+    """Point-major wrapper over tangent_cm_core: (N, c) in, (N, 6, 6) out."""
+    c = tangent_cm_core(
+        model, dt, d_vecd_sm.T, w_vec_sm.T, e_n.T, q_n.T, h_n.T, x_sol.T,
+        h_sol.T, v1, temp_k,
+        None if h_used is None else h_used.T)
+    return jnp.transpose(c, (2, 0, 1))
+
+
+def tangent_cm_core(model, dt, d_cm, w_cm, e0, q0, h0_cm, x_cm, h_sol_cm,
+                    v1, temp_k, h_used_cm=None):
     """6x6 consistent tangent d(sigma_svec)/d(eps_svec_eng), batched.
 
-    Implicit-function theorem on the coupled (e, xi, h) system at the
-    converged solution (same coupling as evptn._consistent_tangent), with
-    all stiff derivatives in closed form; the hardness-residual partials
-    go through two cheap jvp's (both kinetics classes' h-residuals depend
-    on gdots only through shrate = sum |gdot|).
+    Component-major io: inputs (c, N), output (6, 6, N).
 
-    Point-major inputs/outputs: returns (N, 6, 6) in the input dtype.
+    Two modes (``model.tangent_mode``):
+
+    * ``"lagged"`` (default): IFT of the (e, xi) system alone at the
+      FIXED hardness ``h_used`` the final staggered pass solved against.
+      This is the exact derivative of the production update map (the
+      staggered one-pass scheme's stress depends on the lagged h only;
+      the h update happens after the solve and feeds the NEXT step) and
+      matches ExaCMech's ddsdde provenance: the converged SNLS (e, xi)
+      Jacobian.  With the near-rate-independent MTSDD kinetics the
+      coupled tangent is ~50% wrong for this map (measured; it stalls
+      the outer FEM Newton at the elastic-plastic transition), while
+      the lagged tangent is FD-consistent to 1e-5.
+    * ``"coupled"``: Implicit-function theorem on the coupled
+      (e, xi, h) system at the converged solution (same coupling as
+      evptn._consistent_tangent), with all stiff derivatives in closed
+      form; the hardness-residual partials go through two cheap jvp's
+      (both kinetics classes' h-residuals depend on gdots only through
+      shrate = sum |gdot|).  The exact derivative of the fully-implicit
+      coupled map (hardness_mode="coupled").
 
     Under ``model.mixed_precision`` the assembly runs in f32 with a
     ROW-EQUILIBRATED solve: the coupled system's huge condition number
@@ -562,27 +593,27 @@ def tangent_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x_sol, h_sol,
     """
     from .evptn import IDENT_VOL, M_SVEC_FROM_VECD, M_VECD_FROM_SVEC_ENG
 
-    out_dtype = x_sol.dtype
+    out_dtype = x_cm.dtype
     if model.mixed_precision and out_dtype == jnp.float64:
         f32 = jnp.float32
-        c = tangent_cm(model, jnp.asarray(dt, f32), d_vecd_sm.astype(f32),
-                       w_vec_sm.astype(f32), e_n.astype(f32),
-                       q_n.astype(f32), h_n.astype(f32), x_sol.astype(f32),
-                       h_sol.astype(f32), v1.astype(f32), temp_k)
+        c = tangent_cm_core(
+            model, jnp.asarray(dt, f32), d_cm.astype(f32), w_cm.astype(f32),
+            e0.astype(f32), q0.astype(f32), h0_cm.astype(f32),
+            x_cm.astype(f32), h_sol_cm.astype(f32), v1.astype(f32), temp_k,
+            None if h_used_cm is None else h_used_cm.astype(f32))
         return c.astype(out_dtype)
 
-    dtype = x_sol.dtype
-    N = x_sol.shape[0]
-    nh = h_n.shape[1]
+    lagged = (getattr(model, "tangent_mode", "lagged") == "lagged"
+              and h_used_cm is not None)
+
+    dtype = x_cm.dtype
+    N = x_cm.shape[1]
+    nh = h0_cm.shape[0]
     kin = model.kinetics
 
-    x = x_sol.T  # (8, N)
-    h = h_sol.T  # (nh, N)
-    d_cm = d_vecd_sm.T
-    w_cm = w_vec_sm.T
+    x = x_cm  # (8, N)
+    h = h_used_cm if lagged else h_sol_cm  # (nh, N)
     Dsm = vecd_to_mat_cm(d_cm)
-    e0 = e_n.T
-    q0 = q_n.T
 
     # x-block of the coupled Jacobian at (x, h_sol)
     _, J_xx = residual_and_jac_cm(model, x, h, dt, Dsm, w_cm, e0, q0,
@@ -594,60 +625,69 @@ def tangent_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x_sol, h_sol,
     e_end, xi = x[:5], x[5:]
     taus = jnp.einsum("sk,kl,ln->sn", P, C, e_end)  # (S, N)
 
-    taus_t = taus.T  # (N, S)
-    h_t = h.T  # (N, nh)
-    gd_t = kin.gdots(taus_t, h_t, temp_k)  # (N, S)
+    if lagged:
+        # Stress of the staggered map depends on h only through the
+        # frozen h_used: the tangent system is the (e, xi) block alone.
+        Jz = J_xx  # (8, 8, N)
+        nh_z = 0
+    else:
+        taus_t = taus.T  # (N, S)
+        h_t = h.T  # (N, nh)
+        gd_t = kin.gdots(taus_t, h_t, temp_k)  # (N, S)
 
-    # d gd / d h via one jvp per hardness component (generic across
-    # kinetics classes)
-    dgd_dh_cols = []
-    for j in range(nh):
-        seed = jnp.zeros_like(h_t).at[:, j].set(1.0)
-        _, dgd = jax.jvp(lambda hh: kin.gdots(taus_t, hh, temp_k), (h_t,),
-                         (seed,))
-        dgd_dh_cols.append(dgd.T)  # (S, N)
-    dgd_dh = jnp.stack(dgd_dh_cols, axis=1)  # (S, nh, N)
+        # d gd / d h via one jvp per hardness component (generic across
+        # kinetics classes)
+        dgd_dh_cols = []
+        for j in range(nh):
+            seed = jnp.zeros_like(h_t).at[:, j].set(1.0)
+            _, dgd = jax.jvp(lambda hh: kin.gdots(taus_t, hh, temp_k),
+                             (h_t,), (seed,))
+            dgd_dh_cols.append(dgd.T)  # (S, N)
+        dgd_dh = jnp.stack(dgd_dh_cols, axis=1)  # (S, nh, N)
 
-    # J_xh = dt * [P^T dgd_dh ; Q^T dgd_dh]
-    J_eh = dt * jnp.einsum("sk,sjn->kjn", P, dgd_dh)  # (5, nh, N)
-    J_wh = dt * jnp.einsum("sk,sjn->kjn", Q, dgd_dh)  # (3, nh, N)
-    J_xh = jnp.concatenate([J_eh, J_wh], axis=0)  # (8, nh, N)
+        # J_xh = dt * [P^T dgd_dh ; Q^T dgd_dh]
+        J_eh = dt * jnp.einsum("sk,sjn->kjn", P, dgd_dh)  # (5, nh, N)
+        J_wh = dt * jnp.einsum("sk,sjn->kjn", Q, dgd_dh)  # (3, nh, N)
+        J_xh = jnp.concatenate([J_eh, J_wh], axis=0)  # (8, nh, N)
 
-    # hardness residual partials: rh depends on gd only through
-    # shrate = sum |gd| -> directional jvp along sign(gd)
-    sgn = jnp.sign(gd_t)  # (N, S)
-    nnz = jnp.maximum(jnp.sum(sgn * sgn, axis=-1, keepdims=True), 1.0)
-    h_n_t = jnp.asarray(h_n)
+        # hardness residual partials: rh depends on gd only through
+        # shrate = sum |gd| -> directional jvp along sign(gd)
+        sgn = jnp.sign(gd_t)  # (N, S)
+        nnz = jnp.maximum(jnp.sum(sgn * sgn, axis=-1, keepdims=True), 1.0)
+        h_n_t = h0_cm.T  # (N, nh)
 
-    def rh_of(hh, gg):
-        return kin.h_residual(hh, h_n_t, gg, dt, temp_k)  # (N, nh)
+        def rh_of(hh, gg):
+            return kin.h_residual(hh, h_n_t, gg, dt, temp_k)  # (N, nh)
 
-    _, drh_dG_dir = jax.jvp(lambda gg: rh_of(h_t, gg), (gd_t,), (sgn,))
-    drh_dshrate = (drh_dG_dir / nnz).T  # (nh, N)
-    # drh/dgd_s = drh/dshrate * sign_s
-    J_hx_gd = jnp.einsum("jn,sn->jsn", drh_dshrate, sgn.T)  # (nh, S, N)
+        _, drh_dG_dir = jax.jvp(lambda gg: rh_of(h_t, gg), (gd_t,), (sgn,))
+        drh_dshrate = (drh_dG_dir / nnz).T  # (nh, N)
+        # drh/dgd_s = drh/dshrate * sign_s
+        J_hx_gd = jnp.einsum("jn,sn->jsn", drh_dshrate, sgn.T)  # (nh, S, N)
 
-    # chain through taus(e): dgd/dtau from the closed-form slope
-    _, slope_t = kin.gdots_slope(taus_t, h_t, temp_k)  # (N, S)
-    PC = jnp.asarray(
-        np.asarray(model.slip.P) @ np.asarray(model.elast.C_dev), dtype)
-    J_he = jnp.einsum("jsn,sn,sl->jln", J_hx_gd, slope_t.T, PC)  # (nh,5,N)
-    J_hxi = jnp.zeros((nh, 3, N), dtype)
+        # chain through taus(e): dgd/dtau from the closed-form slope
+        _, slope_t = kin.gdots_slope(taus_t, h_t, temp_k)  # (N, S)
+        PC = jnp.asarray(
+            np.asarray(model.slip.P) @ np.asarray(model.elast.C_dev), dtype)
+        J_he = jnp.einsum("jsn,sn,sl->jln", J_hx_gd, slope_t.T,
+                          PC)  # (nh,5,N)
+        J_hxi = jnp.zeros((nh, 3, N), dtype)
 
-    # direct h partials (gd frozen) per component
-    J_hh_cols = []
-    for j in range(nh):
-        seed = jnp.zeros_like(h_t).at[:, j].set(1.0)
-        _, drh = jax.jvp(lambda hh: rh_of(hh, gd_t), (h_t,), (seed,))
-        J_hh_cols.append(drh.T)  # (nh, N)
-    J_hh_direct = jnp.stack(J_hh_cols, axis=1)  # (nh, nh, N)
-    # plus indirect through gd(h)
-    J_hh = J_hh_direct + jnp.einsum("jsn,skn->jkn", J_hx_gd, dgd_dh)
+        # direct h partials (gd frozen) per component
+        J_hh_cols = []
+        for j in range(nh):
+            seed = jnp.zeros_like(h_t).at[:, j].set(1.0)
+            _, drh = jax.jvp(lambda hh: rh_of(hh, gd_t), (h_t,), (seed,))
+            J_hh_cols.append(drh.T)  # (nh, N)
+        J_hh_direct = jnp.stack(J_hh_cols, axis=1)  # (nh, nh, N)
+        # plus indirect through gd(h)
+        J_hh = J_hh_direct + jnp.einsum("jsn,skn->jkn", J_hx_gd, dgd_dh)
 
-    Jtop = jnp.concatenate([J_xx, J_xh], axis=1)  # (8, 8+nh, N)
-    Jbot = jnp.concatenate([jnp.concatenate([J_he, J_hxi], axis=1), J_hh],
-                           axis=1)  # (nh, 8+nh, N)
-    Jz = jnp.concatenate([Jtop, Jbot], axis=0)  # (8+nh, 8+nh, N)
+        Jtop = jnp.concatenate([J_xx, J_xh], axis=1)  # (8, 8+nh, N)
+        Jbot = jnp.concatenate(
+            [jnp.concatenate([J_he, J_hxi], axis=1), J_hh],
+            axis=1)  # (nh, 8+nh, N)
+        Jz = jnp.concatenate([Jtop, Jbot], axis=0)  # (8+nh, 8+nh, N)
+        nh_z = nh
 
     # RHS: dR/dd — only r_e depends on d (through the lattice rotation)
     q_end = quat_multiply_cm(q0, expmap_to_quat_cm(xi))
@@ -655,7 +695,7 @@ def tangent_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x_sol, h_sol,
     # d_lat = Q5(R^T) d  ->  d r_e / d d = -dt * Q5(R^T)
     Q5T = _vecd_rot5_cm(jnp.einsum("ijn->jin", R))  # rotation by R^T
     dR_dd = jnp.concatenate(
-        [-dt * Q5T, jnp.zeros((3 + nh, 5, N), dtype)], axis=0)
+        [-dt * Q5T, jnp.zeros((3 + nh_z, 5, N), dtype)], axis=0)
     # Row-equilibrated solve + one defect-correction pass (cheap in f64,
     # essential in f32: the dt*slope row scales would otherwise swamp
     # the factorization).
@@ -676,7 +716,8 @@ def tangent_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x_sol, h_sol,
         [mat_to_vecd_cm(jnp.einsum("imn,mjn,kjn->ikn", R, comm[:, :, k], R))
          for k in range(3)], axis=1) / v1[None, None, :]
     ds_dz = jnp.concatenate(
-        [ds_de, ds_dxi, jnp.zeros((5, nh, N), dtype)], axis=1)  # (5,8+nh,N)
+        [ds_de, ds_dxi, jnp.zeros((5, nh_z, N), dtype)],
+        axis=1)  # (5, 8+nh_z, N)
 
     ds_dd = jnp.einsum("lzn,zkn->lkn", ds_dz, dz_dd)  # (5, 5, N)
     Ms = jnp.asarray(M_SVEC_FROM_VECD, dtype)
@@ -686,4 +727,70 @@ def tangent_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x_sol, h_sol,
     k_eff = model.eos.dpressure_dvolstrain(v1)  # (N,)
     c_full = c_dev + k_eff[None, None, :] * (m6[:, None, None]
                                              * m6[None, :, None])
-    return jnp.transpose(c_full, (2, 0, 1))  # (N, 6, 6)
+    return c_full  # (6, 6, N)
+
+
+# ---------------------------------------------------------------------------
+# outputs, component-major (mirrors evptn._outputs_from_solution)
+# ---------------------------------------------------------------------------
+
+_SQR2I = 1.0 / np.sqrt(2.0)
+_SQR6I = 1.0 / np.sqrt(6.0)
+_SQR2B3 = np.sqrt(2.0 / 3.0)
+
+
+def vecd_to_svec_cm(t):
+    """vecd (5, N) -> deviatoric svec (6, N) [a11,a22,a33,a23,a13,a12]."""
+    t1 = _SQR2I * t[0]
+    t2 = _SQR6I * t[1]
+    return jnp.stack([
+        t1 - t2,
+        -t1 - t2,
+        _SQR2B3 * t[1],
+        _SQR2I * t[4],
+        _SQR2I * t[3],
+        _SQR2I * t[2],
+    ])
+
+
+def outputs_from_solution_cm(model, dt, d_cm, w_cm, v0, v1, e_int_n, e0,
+                             q0, h0, temp_k, x, h_end, h_used, iters, ok,
+                             compute_tangent):
+    """Stress/state/tangent outputs, component-major (c, N) arrays.
+
+    Same math as evptn._outputs_from_solution; returns the same dict keys
+    with every array component-major.
+    """
+    dtype = x.dtype
+    e_end = x[:5]
+    xi = x[5:]
+    q_end = quat_multiply_cm(q0, expmap_to_quat_cm(xi))
+    q_end = q_end / jnp.sqrt(jnp.sum(q_end * q_end, axis=0))[None]
+    r_end = quat_to_rmat_cm(q_end)  # (3, 3, N)
+
+    C = jnp.asarray(np.asarray(model.elast.C_dev), dtype)
+    P = jnp.asarray(np.asarray(model.slip.P), dtype)
+    s_lat = jnp.einsum("kl,ln->kn", C, e_end)  # (5, N)
+    taus = jnp.einsum("sk,kn->sn", P, s_lat)  # (S, N)
+    gd = _kinetics_eval(model, taus, h_used, temp_k, False)  # (S, N)
+    dp_lat = jnp.einsum("sk,sn->kn", P, gd)  # (5, N)
+
+    q5 = _vecd_rot5_cm(r_end)  # (5, 5, N)
+    s_sm_vecd = jnp.einsum("kln,ln->kn", q5, s_lat) / v1[None]
+    pressure = model.eos.pressure(v1, e_int_n)
+
+    shrate_eff = _SQR2B3 * jnp.sqrt(jnp.sum(dp_lat * dp_lat, axis=0))
+    deff = _SQR2B3 * jnp.sqrt(jnp.sum(d_cm * d_cm, axis=0))
+    pl_work_rate = jnp.sum(taus * gd, axis=0) / v1
+    flow_str = pl_work_rate / jnp.maximum(deff, 1e-30)
+    e_int = e_int_n + dt * pl_work_rate * v1 - pressure * (v1 - v0)
+
+    out = dict(e_end=e_end, q_end=q_end, h_end=h_end, gdots=gd,
+               s_vecd_sm=s_sm_vecd, pressure=pressure, e_int=e_int,
+               shrate_eff=shrate_eff, flow_str=flow_str, iters=iters,
+               converged=ok)
+    if compute_tangent:
+        out["tangent"] = tangent_cm_core(model, dt, d_cm, w_cm, e0, q0,
+                                         h0, x, h_end, v1, temp_k,
+                                         h_used_cm=h_used)
+    return out

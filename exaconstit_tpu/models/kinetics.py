@@ -225,9 +225,11 @@ class KMBalD:
     ninv: float
     gam_ro_dd: float
     rho_dd_init: float
-    # density-production exponent a in drho/dGamma = k1 rho^a - k2 rho
+    # density-production exponent a in drho/dGamma = k1 rho^a - k2 rho^b
     # (0.5 = classic Kocks-Mecking sqrt production)
     prod_exponent: float = 0.5
+    # density-recovery exponent b (1.0 = classic linear recovery)
+    recov_exponent: float = 1.0
     # ExaCMech's KineticsKMBalD<withGAthermal> template flag
     # (matModelEvptn_BCC_A vs FCC_B, referenced from
     # src/mechanics_ecmech.hpp:460-463): BCC screw-dislocation kinetics
@@ -377,6 +379,12 @@ class KMBalD:
         ra = jnp.power(jnp.maximum(rho, _TINY), a)
         return self.k1 * ra, self.k1 * a * ra / jnp.maximum(rho, _TINY)
 
+    def _recov(self, rho, k2):
+        """Density recovery term k2 * rho^b and its derivative."""
+        b = self.recov_exponent
+        rb = jnp.power(jnp.maximum(rho, _TINY), b)
+        return k2 * rb, k2 * b * rb / jnp.maximum(rho, _TINY)
+
     def h_residual(self, h, h_n, gdots, dt, temp_k):
         """Backward-Euler density residual (for the coupled tangent)."""
         del temp_k
@@ -385,12 +393,13 @@ class KMBalD:
         k2 = self._k2(shrate)
         rho = jnp.maximum(h, _TINY)
         prod, _ = self._prod(rho)
-        return h - h_n - (prod - k2 * rho) * dgam
+        recov, _ = self._recov(rho, k2)
+        return h - h_n - (prod - recov) * dgam
 
     def update_h(self, h_n, gdots, dt, temp_k):
         """Implicit Kocks-Mecking density update.
 
-        drho/dGamma = k1 rho^a - k2(Gamma_dot) rho,
+        drho/dGamma = k1 rho^a - k2(Gamma_dot) rho^b,
         k2 = k2_0 (gam_ro_dd / Gamma_dot)^ninv.
         """
         del temp_k
@@ -400,7 +409,8 @@ class KMBalD:
         rho = jnp.maximum(h_n, _TINY)
         for _ in range(20):
             prod, dprod = self._prod(rho)
-            r = rho - h_n - (prod - k2 * rho) * dgam
-            drdrho = 1.0 - (dprod - k2) * dgam
+            recov, drecov = self._recov(rho, k2)
+            r = rho - h_n - (prod - recov) * dgam
+            drdrho = 1.0 - (dprod - drecov) * dgam
             rho = jnp.maximum(rho - r / drdrho, _TINY)
         return rho
