@@ -199,6 +199,48 @@ class MechSystem:
         self._gather = gather
         self._scatter_add = scatter_add
 
+        # -- component-major hot path (TPU tile-padding-free layouts) -----
+        # Element/point batch axes LAST everywhere (see fem/geometry.py);
+        # eligible for the EA/FULL + ECMech staggered-cm configuration.
+        self.use_cm = (not self.bbar and self.assembly != Assembly.PA
+                       and getattr(model, "supports_cm", False)
+                       and os.environ.get("EXACONSTIT_TPU_NO_CM") != "1")
+        conn_T = np.asarray(conn).T  # (nen, ne_pad)
+        self.conn_T = jnp.asarray(conn_T)
+
+        def shard_cm(ndim):
+            """Sharding for CM arrays: element axis (last) split."""
+            if device_mesh is None:
+                return None
+            from jax.sharding import NamedSharding, PartitionSpec
+            return NamedSharding(
+                device_mesh, PartitionSpec(*([None] * (ndim - 1) + ["elems"])))
+
+        if device_mesh is not None:
+            self.conn_T = jax.device_put(self.conn_T, shard_cm(2))
+
+        def constrain_cm(x):
+            s = shard_cm(x.ndim)
+            if s is not None:
+                return jax.lax.with_sharding_constraint(x, s)
+            return x
+
+        self._constrain_cm = constrain_cm
+
+        def gather_cm(tvec):
+            """(nn, 3) nodal field -> (3, nen, ne) element vectors."""
+            return constrain_cm(tvec.T[:, self.conn_T])
+
+        def scatter_add_cm(evec_cm):
+            """(3, nen, ne) -> (nn, 3) scatter-add."""
+            out = jnp.zeros((3, nn), dtype=evec_cm.dtype)
+            out = out.at[:, self.conn_T.reshape(-1)].add(
+                evec_cm.reshape(3, -1))
+            return constrain_r(out.T)
+
+        self._gather_cm = gather_cm
+        self._scatter_add_cm = scatter_add_cm
+
         def compute_nsub(v, x_beg, dt):
             """Frozen per-point substep counts from the entry velocity.
 
@@ -206,6 +248,11 @@ class MechSystem:
             iterate-dependent count makes the residual discontinuous
             where a point's deff crosses a cap/dt multiple, which stalls
             the outer Newton."""
+            if self.use_cm:
+                # the identified law is point-uniform: no geometry needed
+                n = model.substep_counts(dt) \
+                    if hasattr(model, "substep_counts") else None
+                return jnp.ones((), jnp.int32) if n is None else n
             el_x = gather(x_beg + dt * v)
             el_v = gather(v)
             J = jacobians(el_x, self.dshape)
@@ -263,7 +310,43 @@ class MechSystem:
             diag = jnp.where(ess_mask.reshape(-1), 1.0, diag)
             return r, k_data, diag, stress_q, state_end.reshape(ne, nq, -1)
 
-        self._setup = jax.jit(setup_fn, static_argnums=(5,))
+        def setup_fn_cm(v, x_beg, state_beg, dt, ess_mask, advance_coords,
+                        nsub):
+            """Component-major setup: identical math to setup_fn with all
+            element/point arrays batch-minor (no TPU tile padding)."""
+            from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
+                                       grad_calc_cm, jacobians_cm)
+            x_end = x_beg + dt * v if advance_coords else x_beg
+            el_x = gather_cm(x_end)  # (3, nen, ne)
+            el_v = gather_cm(v)
+            J = jacobians_cm(el_x, self.dshape)
+            adj = adjugate_3x3_cm(J)
+            det = det_3x3_cm(J)
+            L = grad_calc_cm(el_v, self.dshape, adj, det)  # (3, 3, nq, ne)
+            nq, ne = L.shape[2], L.shape[3]
+            nsv = state_beg.shape[2]
+            state_cm = state_beg.transpose(2, 1, 0).reshape(nsv, nq * ne)
+            stress, state_end, c6 = model.model_setup_cm(
+                dt, L.reshape(3, 3, nq * ne), state_cm, nsub=nsub)
+            stress_q = constrain_cm(stress.reshape(6, nq, ne))
+            c6_q = constrain_cm(c6.reshape(6, 6, nq, ne))
+            force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
+                                          stress_q)
+            force = force * self.elem_mask[None, None, :]
+            r = scatter_add_cm(force).reshape(-1)
+            r = jnp.where(ess_mask.reshape(-1), 0.0, r)
+            k_cm = ops.assemble_ea_gradient_cm(el_x, self.dshape, self.qwts,
+                                               c6_q, dt)
+            k_cm = constrain_cm(k_cm * self.elem_mask[None, None, :])
+            dloc = ops.ea_diagonal_cm(k_cm, ref.nnodes)
+            diag = scatter_add_cm(dloc).reshape(-1)
+            diag = jnp.where(ess_mask.reshape(-1), 1.0, diag)
+            stress_pm = stress_q.transpose(2, 1, 0)  # (ne, nq, 6)
+            state_pm = state_end.reshape(nsv, nq, ne).transpose(2, 1, 0)
+            return r, k_cm, diag, stress_pm, state_pm
+
+        self._setup = jax.jit(setup_fn_cm if self.use_cm else setup_fn,
+                              static_argnums=(5,))
 
         def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub):
             x_end = x_beg + dt * v
@@ -287,9 +370,47 @@ class MechSystem:
             r = scatter_add(force).reshape(-1)
             return jnp.where(ess_mask.reshape(-1), 0.0, r)
 
+        def residual_only_cm(v, x_beg, state_beg, dt, ess_mask, nsub):
+            from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
+                                       grad_calc_cm, jacobians_cm)
+            x_end = x_beg + dt * v
+            el_x = gather_cm(x_end)
+            el_v = gather_cm(v)
+            J = jacobians_cm(el_x, self.dshape)
+            adj = adjugate_3x3_cm(J)
+            det = det_3x3_cm(J)
+            L = grad_calc_cm(el_v, self.dshape, adj, det)
+            nq, ne = L.shape[2], L.shape[3]
+            nsv = state_beg.shape[2]
+            state_cm = state_beg.transpose(2, 1, 0).reshape(nsv, nq * ne)
+            stress, _, _ = model.model_setup_cm(
+                dt, L.reshape(3, 3, nq * ne), state_cm,
+                compute_tangent=False, nsub=nsub)
+            stress_q = constrain_cm(stress.reshape(6, nq, ne))
+            force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
+                                          stress_q)
+            force = force * self.elem_mask[None, None, :]
+            r = scatter_add_cm(force).reshape(-1)
+            return jnp.where(ess_mask.reshape(-1), 0.0, r)
+
+        if self.use_cm:
+            residual_only = residual_only_cm
         self._residual_only = jax.jit(residual_only)
 
         def max_deff(v, x_beg, dt):
+            if self.use_cm:
+                from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
+                                           grad_calc_cm, jacobians_cm)
+                el_x = gather_cm(x_beg + dt * v)
+                el_v = gather_cm(v)
+                J = jacobians_cm(el_x, self.dshape)
+                L = grad_calc_cm(el_v, self.dshape, adjugate_3x3_cm(J),
+                                 det_3x3_cm(J))  # (3, 3, nq, ne)
+                d = 0.5 * (L + jnp.einsum("ij...->ji...", L))
+                tr3 = (d[0, 0] + d[1, 1] + d[2, 2]) / 3.0
+                dev2 = (jnp.sum(d * d, axis=(0, 1)) - 3.0 * tr3 * tr3)
+                deff = jnp.sqrt(2.0 / 3.0 * jnp.maximum(dev2, 0.0))
+                return jnp.max(deff * self.elem_mask[None, :])
             el_x = gather(x_beg + dt * v)
             el_v = gather(v)
             J = jacobians(el_x, self.dshape)
@@ -302,27 +423,27 @@ class MechSystem:
 
         self._max_deff = jax.jit(max_deff)
 
+        def apply_k(k_data, x):
+            """K u on an (nn, 3) field -> (nn, 3) (layout-dispatching)."""
+            if self.use_cm:
+                el_y = ops.apply_ea_gradient_cm(k_data, gather_cm(x))
+                return scatter_add_cm(el_y)
+            el_u = gather(x)
+            if self.assembly == Assembly.PA:
+                el_y = ops.apply_pa_gradient(
+                    k_data, self.dshape.astype(el_u.dtype), el_u)
+            else:
+                el_y = ops.apply_ea_gradient(k_data, el_u)
+            return scatter_add(el_y)
+
         def grad_matvec(k_data, x_flat, ess_mask_flat):
             """y = K x with essential-dof identity rows/cols."""
             x = jnp.where(ess_mask_flat, 0.0, x_flat).reshape(nn, 3)
-            el_u = gather(x)
-            if self.assembly == Assembly.PA:
-                el_y = ops.apply_pa_gradient(
-                    k_data, self.dshape.astype(el_u.dtype), el_u)
-            else:
-                el_y = ops.apply_ea_gradient(k_data, el_u)
-            y = scatter_add(el_y).reshape(-1)
+            y = apply_k(k_data, x).reshape(-1)
             return jnp.where(ess_mask_flat, x_flat, y)
 
         def grad_matvec_unconstrained(k_data, x_flat):
-            x = x_flat.reshape(nn, 3)
-            el_u = gather(x)
-            if self.assembly == Assembly.PA:
-                el_y = ops.apply_pa_gradient(
-                    k_data, self.dshape.astype(el_u.dtype), el_u)
-            else:
-                el_y = ops.apply_ea_gradient(k_data, el_u)
-            return scatter_add(el_y).reshape(-1)
+            return apply_k(k_data, x_flat.reshape(nn, 3)).reshape(-1)
 
         self._grad_matvec_unconstrained = jax.jit(grad_matvec_unconstrained)
 
@@ -360,7 +481,7 @@ class MechSystem:
                           opt.krylov_abs_tol, opt.krylov_iter)
 
         self._krylov = jax.jit(krylov_solve)
-        self._setup_raw = setup_fn
+        self._setup_raw = setup_fn_cm if self.use_cm else setup_fn
         self._krylov_raw = krylov_solve
 
         def vol_avg(values_q, el_x, divide):

@@ -70,3 +70,64 @@ def grad_calc(el_field, dshape, J):
     # L_ij = sum_a v[a,i] dN_a/dx_j
     g = jnp.einsum("enI,qns,eqsJ->eqIJ", el_field, dshape, adj)
     return g / detj[..., None, None]
+
+
+# ---------------------------------------------------------------------------
+# Component-major variants (batch axes LAST).
+#
+# On TPU the minor-most two axes of every materialized array tile onto
+# (8, 128) vector registers, so point-major layouts with tiny trailing
+# dims — J (ne, nq, 3, 3), B (ne, nq, 6, 24) — pad 5-100x in HBM and
+# collapse VPU utilization (measured: the 32^3 Newton step OOMs a 16 GB
+# chip purely on padded temps).  The CM variants keep (.., nq, ne) as
+# the LAST axes everywhere: lane = element, sublane = quadrature point,
+# zero padding, and every small contraction is a constant-coefficient
+# multiply-add over (nq, ne) panels.
+# ---------------------------------------------------------------------------
+
+
+def jacobians_cm(el_x_cm, dshape):
+    """Element Jacobians, component-major.
+
+    el_x_cm: (3, nnodes, nelems) current nodal coordinates
+    dshape:  (nqpts, nnodes, 3) reference shape gradients (tiny constant)
+    returns J_cm: (3, 3, nqpts, nelems), J[i, j] = dx_i/dxi_j
+    """
+    return jnp.einsum("ine,qnj->ijqe", el_x_cm, dshape)
+
+
+def det_3x3_cm(J):
+    """det of (3, 3, ...) component-major matrices."""
+    return (
+        J[0, 0] * (J[1, 1] * J[2, 2] - J[2, 1] * J[1, 2])
+        - J[1, 0] * (J[0, 1] * J[2, 2] - J[2, 1] * J[0, 2])
+        + J[2, 0] * (J[0, 1] * J[1, 2] - J[1, 1] * J[0, 2])
+    )
+
+
+def adjugate_3x3_cm(J):
+    """adj(J) for (3, 3, ...) component-major matrices."""
+    rows = [
+        [J[1, 1] * J[2, 2] - J[1, 2] * J[2, 1],
+         J[2, 1] * J[0, 2] - J[0, 1] * J[2, 2],
+         J[0, 1] * J[1, 2] - J[1, 1] * J[0, 2]],
+        [J[2, 0] * J[1, 2] - J[1, 0] * J[2, 2],
+         J[0, 0] * J[2, 2] - J[0, 2] * J[2, 0],
+         J[1, 0] * J[0, 2] - J[0, 0] * J[1, 2]],
+        [J[1, 0] * J[2, 1] - J[2, 0] * J[1, 1],
+         J[2, 0] * J[0, 1] - J[0, 0] * J[2, 1],
+         J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]],
+    ]
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def grad_calc_cm(el_field_cm, dshape, adj, detj):
+    """Spatial gradient of a nodal field, component-major.
+
+    el_field_cm: (3, nnodes, nelems)
+    adj:  (3, 3, nqpts, nelems) adjugate of J (jacobians_cm)
+    detj: (nqpts, nelems)
+    returns L_cm: (3, 3, nqpts, nelems) with L[i, j] = df_i/dx_j
+    """
+    g = jnp.einsum("ine,qns,sjqe->ijqe", el_field_cm, dshape, adj)
+    return g / detj[None, None]

@@ -246,6 +246,92 @@ def bbar_vgrad_correction(el_v, dndx, wts):
     return L + corr[..., None, None] * jnp.eye(3, dtype=L.dtype)
 
 
+# ----------------------------------------------------------------------------
+# Component-major variants (batch axes last; see fem/geometry.py note).
+# Used by the driver's EA/FULL hot path on TPU: zero tile padding and
+# lane-parallel small contractions.  Layouts:
+#   el_x_cm / el_u_cm   (3, nen, ne)
+#   stress_cm           (6, nq, ne)
+#   c6_cm               (6, 6, nq, ne)
+#   k_cm                (ndof, ndof, ne), dof = node*3 + comp
+# ----------------------------------------------------------------------------
+
+from .geometry import adjugate_3x3_cm, det_3x3_cm, jacobians_cm  # noqa: E402
+
+
+def svec_to_mat33_cm(stress_cm):
+    """(6, ...) svec -> (3, 3, ...) full symmetric tensor."""
+    return stress_cm[_VOIGT]
+
+
+def residual_force_cm(el_x_cm, dshape, qwts, stress_cm):
+    """Internal nodal forces per element, component-major.
+
+    returns (3, nen, ne): f[i, a, e].
+    """
+    J = jacobians_cm(el_x_cm, dshape)
+    adj = adjugate_3x3_cm(J)
+    sig = svec_to_mat33_cm(stress_cm)  # (3, 3, nq, ne)
+    return jnp.einsum("q,qas,sjqe,jiqe->iae", qwts, dshape, adj, sig)
+
+
+def _dndx_and_wts_cm(el_x_cm, dshape, qwts):
+    J = jacobians_cm(el_x_cm, dshape)
+    adj = adjugate_3x3_cm(J)
+    det = det_3x3_cm(J)  # (nq, ne)
+    dndx = jnp.einsum("qns,sjqe->njqe", dshape, adj) / det[None, None]
+    return dndx, det * qwts[:, None]
+
+
+def _b_matrices_cm(dndx):
+    """B matrices (6, nen*3, nq, ne) from dndx (nen, 3, nq, ne)."""
+    dx, dy, dz = dndx[:, 0], dndx[:, 1], dndx[:, 2]  # (nen, nq, ne)
+    z = jnp.zeros_like(dx)
+    rows = [
+        jnp.stack([dx, z, z], axis=1),
+        jnp.stack([z, dy, z], axis=1),
+        jnp.stack([z, z, dz], axis=1),
+        jnp.stack([z, dz, dy], axis=1),
+        jnp.stack([dz, z, dx], axis=1),
+        jnp.stack([dy, dx, z], axis=1),
+    ]
+    B = jnp.stack(rows, axis=0)  # (6, nen, 3, nq, ne)
+    s = B.shape
+    return B.reshape(6, s[1] * 3, s[3], s[4])
+
+
+def assemble_ea_gradient_cm(el_x_cm, dshape, qwts, c6_cm, dt):
+    """Per-element stiffness (ndof, ndof, ne), component-major.
+
+    Same math as assemble_ea_gradient (B^T (C dt w) B) with every
+    intermediate in (.., nq, ne) layout.
+    """
+    dndx, wts = _dndx_and_wts_cm(el_x_cm, dshape, qwts)
+    B = _b_matrices_cm(dndx)  # (6, 24, nq, ne)
+    cb = jnp.einsum("ijqe,jbqe->ibqe", c6_cm, B)
+    return jnp.einsum("qe,iaqe,ibqe->abe", wts * dt, B, cb)
+
+
+def apply_ea_gradient_cm(k_cm, el_u_cm):
+    """Batched matvec y[i, a, e] from CM stiffness; lane-parallel."""
+    nen = el_u_cm.shape[1]
+    u = el_u_cm.transpose(1, 0, 2).reshape(nen * 3, -1)  # (ndof, ne)
+    y = jnp.einsum("abe,be->ae", k_cm, u)
+    return y.reshape(nen, 3, -1).transpose(1, 0, 2)
+
+
+def ea_diagonal_cm(k_cm, nen):
+    """Per-element diagonal (3, nen, ne) from CM stiffness."""
+    d = jnp.einsum("aae->ae", k_cm)
+    return d.reshape(nen, 3, -1).transpose(1, 0, 2)
+
+
+def quad_point_volumes_cm(el_x_cm, dshape, qwts):
+    """detJ * w at each quadrature point (nq, ne), component-major."""
+    J = jacobians_cm(el_x_cm, dshape)
+    return det_3x3_cm(J) * qwts[:, None]
+
+
 def element_volumes(el_x, dshape, qwts):
     J = jacobians(el_x, dshape)
     return jnp.einsum("eq,q->e", det_3x3(J), qwts)

@@ -207,6 +207,89 @@ class ECMechModel:
         tangent = out.get("tangent")
         return stress, state_end, tangent
 
+    @property
+    def supports_cm(self):
+        """True when model_setup_cm covers this configuration (the
+        production staggered component-major scheme)."""
+        ev = self.evptn
+        return (ev.engine == "cm" and ev.hardness_mode == "staggered"
+                and ev.flow_theta == 1.0 and ev.h_gd_source == "converged")
+
+    def model_setup_cm(self, dt, vgrad_cm, state_beg_cm,
+                       compute_tangent=True, nsub=None):
+        """Component-major constitutive update (TPU hot path).
+
+        Same contract as model_setup with every array component-major:
+        vgrad_cm (3, 3, N), state_beg_cm (num_state, N); returns
+        (stress_cm (6, N), state_end_cm (num_state, N),
+        tangent_cm (6, 6, N) or None).  Requires the staggered "cm"
+        engine configuration (the production scheme).
+        """
+        from . import evptn_cm
+
+        ev = self.evptn
+        if not (ev.engine == "cm" and ev.hardness_mode == "staggered"
+                and ev.flow_theta == 1.0 and ev.h_gd_source == "converged"):
+            raise NotImplementedError(
+                "model_setup_cm implements the production staggered scheme "
+                "only; experimental knobs use model_setup")
+
+        d = 0.5 * (vgrad_cm + jnp.einsum("ij...->ji...", vgrad_cm))
+        tr_d = d[0, 0] + d[1, 1] + d[2, 2]
+        d_vecd = evptn_cm.mat_to_vecd_cm(d)  # (5, N)
+        w_vec = jnp.stack([
+            0.5 * (vgrad_cm[2, 1] - vgrad_cm[1, 2]),
+            0.5 * (vgrad_cm[0, 2] - vgrad_cm[2, 0]),
+            0.5 * (vgrad_cm[1, 0] - vgrad_cm[0, 1]),
+        ])  # (3, N)
+
+        v0 = state_beg_cm[self.ind_vols]
+        v1 = v0 * jnp.exp(tr_d * dt)
+        e_int = state_beg_cm[self.ind_int_eng]
+        e_n = state_beg_cm[self.IND_ESTRAIN:self.IND_ESTRAIN + 5]
+        q_n = state_beg_cm[self.IND_QUATS:self.IND_QUATS + 4]
+        h_n = state_beg_cm[self.IND_HARD:self.IND_HARD + self.n_h]
+
+        if nsub is None:
+            nsub = self.substep_counts(dt)
+            if nsub is None:
+                nsub = 1
+        nsub = jnp.broadcast_to(jnp.asarray(nsub, jnp.int32),
+                                (d_vecd.shape[1],))
+
+        x, h_end, h_used, iters, ok = evptn_cm.solve_staggered_cm_core(
+            ev, dt, d_vecd, w_vec, e_n, q_n, h_n, self.temp_k, nsub)
+        out = evptn_cm.outputs_from_solution_cm(
+            ev, dt, d_vecd, w_vec, v0, v1, e_int, e_n, q_n, h_n,
+            self.temp_k, x, h_end, h_used, iters, ok, compute_tangent)
+
+        s_dev = evptn_cm.vecd_to_svec_cm(out["s_vecd_sm"])  # (6, N)
+        mean = -out["pressure"]
+        stress = s_dev + mean[None] * jnp.asarray(
+            [1.0, 1, 1, 0, 0, 0], dtype=s_dev.dtype)[:, None]
+
+        deff = tn.vecd_deff(d_vecd.T)
+        plw_beg = state_beg_cm[self.IND_PLWORK]
+        plw_inc = jnp.where(deff > IDP_TINY_SQRT,
+                            out["flow_str"] * deff * dt, 0.0)
+        state_end = jnp.concatenate(
+            [
+                out["shrate_eff"][None],
+                (state_beg_cm[self.IND_SHREFF]
+                 + out["shrate_eff"] * dt)[None],
+                (plw_beg + plw_inc)[None],
+                out["iters"].astype(stress.dtype)[None],
+                out["e_end"],
+                out["q_end"],
+                out["h_end"],
+                out["gdots"],
+                v1[None],
+                out["e_int"][None],
+            ],
+            axis=0,
+        )
+        return stress, state_end, out.get("tangent")
+
     def dp_mat(self, state):
         """Sample-frame plastic deformation-rate tensor (npts, 3, 3).
 

@@ -489,15 +489,21 @@ def _outputs_from_solution(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0,
                converged=ok)
 
     if compute_tangent:
-        # The h-coupled tangent is used for both hardness modes: for the
-        # lagged map it is formally inconsistent by O(dh), but it is
-        # empirically the more robust choice for the outer Newton at large
-        # time steps (the frozen-h variant, _frozen_h_tangent, stalls on
-        # the ramped-dt regression schedules).  Tangent choice does not
-        # change converged results.
-        out["tangent"] = _consistent_tangent(
-            model, x, h_end, h_n, dt, d_vecd_sm, w_vec_sm, e_n, q_n, v1,
-            temp_k)
+        # Tangent provenance follows model.tangent_mode (see evptn_cm.
+        # tangent_cm_core): "lagged" differentiates the production
+        # staggered map at the frozen h_used (exact for that map; the
+        # only FD-consistent choice for the stiff MTSDD kinetics),
+        # "coupled" the fully-implicit (e, xi, h) system.  Tangent
+        # choice does not change converged results.
+        if (getattr(model, "tangent_mode", "lagged") == "lagged"
+                and model.hardness_mode != "coupled"):
+            out["tangent"] = _frozen_h_tangent(
+                model, x, h_used, dt, d_vecd_sm, w_vec_sm, e_n, q_n, v1,
+                temp_k)
+        else:
+            out["tangent"] = _consistent_tangent(
+                model, x, h_end, h_n, dt, d_vecd_sm, w_vec_sm, e_n, q_n,
+                v1, temp_k)
     return out
 
 

@@ -528,7 +528,7 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
     fac = jnp.where(big, ang / qvn, 2.0 / jnp.maximum(dq[0], tiny))
     xi_total = dq[1:] * fac[None]
     x = jnp.concatenate([e, xi_total], axis=0)
-    return x.T, h.T, h_used.T, its, conv
+    return x, h, h_used, its, conv
 
 
 # ---------------------------------------------------------------------------
