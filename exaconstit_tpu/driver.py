@@ -238,6 +238,42 @@ class MechSystem:
                 evec_cm.reshape(3, -1))
             return constrain_r(out.T)
 
+        # Structured (voxel-brick) meshes: the E<->T maps are pure strided
+        # slices — no index gather and, critically, no sort-based TPU
+        # scatter.  Each local node (li, lj, lk) of every element touches
+        # the nodal grid at a fixed stride-p offset, so gather = (p+1)^3
+        # strided slices and scatter-add = (p+1)^3 dense slice-adds.
+        struct = getattr(self.fes.mesh, "structure", None)
+        self.use_struct = (self.use_cm and struct is not None
+                           and ne_pad == ne_real and device_mesh is None
+                           and os.environ.get(
+                               "EXACONSTIT_TPU_NO_STRUCT") != "1")
+        if self.use_struct:
+            snx, sny, snz = struct
+            p = self.fes.mesh.order
+            npx, npy, npz = snx * p + 1, sny * p + 1, snz * p + 1
+            loff = [(li, lj, lk)
+                    for lk in range(p + 1) for lj in range(p + 1)
+                    for li in range(p + 1)]  # conn's local lex order
+
+            def sl(o, n):
+                return slice(o, o + (n - 1) * p + 1, p)
+
+            def gather_cm(tvec):
+                x3 = tvec.T.reshape(3, npz, npy, npx)
+                panels = [x3[:, sl(lk, snz), sl(lj, sny),
+                             sl(li, snx)].reshape(3, -1)
+                          for (li, lj, lk) in loff]
+                return jnp.stack(panels, axis=1)  # (3, nen, ne)
+
+            def scatter_add_cm(evec_cm):
+                out = jnp.zeros((3, npz, npy, npx), dtype=evec_cm.dtype)
+                f = evec_cm.reshape(3, len(loff), snz, sny, snx)
+                for a, (li, lj, lk) in enumerate(loff):
+                    out = out.at[:, sl(lk, snz), sl(lj, sny),
+                                 sl(li, snx)].add(f[:, a])
+                return out.reshape(3, -1).T
+
         self._gather_cm = gather_cm
         self._scatter_add_cm = scatter_add_cm
 

@@ -283,33 +283,45 @@ def _dndx_and_wts_cm(el_x_cm, dshape, qwts):
     return dndx, det * qwts[:, None]
 
 
-def _b_matrices_cm(dndx):
-    """B matrices (6, nen*3, nq, ne) from dndx (nen, 3, nq, ne)."""
-    dx, dy, dz = dndx[:, 0], dndx[:, 1], dndx[:, 2]  # (nen, nq, ne)
-    z = jnp.zeros_like(dx)
-    rows = [
-        jnp.stack([dx, z, z], axis=1),
-        jnp.stack([z, dy, z], axis=1),
-        jnp.stack([z, z, dz], axis=1),
-        jnp.stack([z, dz, dy], axis=1),
-        jnp.stack([dz, z, dx], axis=1),
-        jnp.stack([dy, dx, z], axis=1),
-    ]
-    B = jnp.stack(rows, axis=0)  # (6, nen, 3, nq, ne)
-    s = B.shape
-    return B.reshape(6, s[1] * 3, s[3], s[4])
-
-
 def assemble_ea_gradient_cm(el_x_cm, dshape, qwts, c6_cm, dt):
     """Per-element stiffness (ndof, ndof, ne), component-major.
 
-    Same math as assemble_ea_gradient (B^T (C dt w) B) with every
-    intermediate in (.., nq, ne) layout.
+    Same math as assemble_ea_gradient (B^T (C dt w) B), computed via the
+    nodal-block formula K[(a,i),(b,k)] = sum_q w dN_a/dx_j C4[i,j,k,l]
+    dN_b/dx_l with the 3x3x3x3 C4 unrolled from the engineering-shear
+    6x6 — no B matrices, no 5-D dot_general operands: every temp is
+    (nen, *, nq, ne) with the big axes minor (XLA otherwise materializes
+    transposed copies of the (6, 24, nq, ne) B whose (6, 24) tail pads
+    7x on TPU tiles and OOMs production meshes).
     """
-    dndx, wts = _dndx_and_wts_cm(el_x_cm, dshape, qwts)
-    B = _b_matrices_cm(dndx)  # (6, 24, nq, ne)
-    cb = jnp.einsum("ijqe,jbqe->ibqe", c6_cm, B)
-    return jnp.einsum("qe,iaqe,ibqe->abe", wts * dt, B, cb)
+    dndx, wts = _dndx_and_wts_cm(el_x_cm, dshape, qwts)  # (nen,3,q,e), (q,e)
+    w = (wts * dt)[None, None]  # (1, 1, nq, ne)
+    nen = dndx.shape[0]
+    ne = dndx.shape[3]
+    dtype = dndx.dtype
+
+    # C4[i, j, k, l] = c6[voigt(i,j), voigt(k,l)] (engineering shear:
+    # the un-symmetrized expansion, matching c6_to_c4)
+    blocks = []
+    for i in range(3):
+        row = []
+        for k in range(3):
+            # T[a, l] = sum_j dndx[a, j] * c6[voigt(i,j), voigt(k,l)]
+            t_cols = []
+            for ell in range(3):
+                acc = 0.0
+                for j in range(3):
+                    acc = acc + dndx[:, j] * c6_cm[_VOIGT[i, j],
+                                                   _VOIGT[k, ell]]
+                t_cols.append(acc)  # (nen, nq, ne)
+            T = jnp.stack(t_cols, axis=1)  # (nen, 3, nq, ne)
+            # K_ik[a, b] = sum_{q, l} w T[a, l] dndx[b, l]
+            k_ik = jnp.einsum("alqe,blqe->abe", w * T, dndx)
+            row.append(k_ik)  # (nen, nen, ne)
+        blocks.append(row)
+    k9 = jnp.stack([jnp.stack(r) for r in blocks])  # (3, 3, nen, nen, ne)
+    k_cm = jnp.transpose(k9, (2, 0, 3, 1, 4))  # (nen, 3, nen, 3, ne)
+    return k_cm.reshape(nen * 3, nen * 3, ne)
 
 
 def apply_ea_gradient_cm(k_cm, el_u_cm):

@@ -41,6 +41,11 @@ class HexMesh:
     elem_attr: np.ndarray  # (nelems,) int32 (grain ids; 1 if untagged)
     bdr_nodes: dict  # attr(int) -> np.ndarray of node ids
     order: int
+    # (nx, ny, nz) element grid when the mesh is a structured voxel brick
+    # with lexicographic x-fastest node AND element numbering (the
+    # make_cartesian_mesh layout); None for file/unstructured meshes.
+    # Enables the slice-based (scatter-free) gather/assembly path.
+    structure: tuple | None = None
 
     @property
     def num_nodes(self):
@@ -161,4 +166,4 @@ def make_cartesian_mesh(ncuts, lengths, order: int = 1,
     }
 
     return HexMesh(coords=coords, conn=conn, elem_attr=elem_attr,
-                   bdr_nodes=bdr_nodes, order=p)
+                   bdr_nodes=bdr_nodes, order=p, structure=(nx, ny, nz))

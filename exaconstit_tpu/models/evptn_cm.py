@@ -106,11 +106,71 @@ def mat_to_vecd_cm(a):
     return jnp.stack(comps)
 
 
+def mm_cm(A, B):
+    """Small batched matmul (i, k, N) x (k, j, N) -> (i, j, N), unrolled.
+
+    einsum/dot_general over tiny contraction dims makes XLA:TPU pick
+    matrix-minor layouts for the operands — transposed copies whose
+    (tiny, tiny) tails tile-pad 16-26x in HBM (measured: the consistent
+    tangent OOMs a 16 GB chip at 262k points through exactly these).
+    Unrolling the small dims keeps everything lane-parallel over N.
+    """
+    I, K = A.shape[0], A.shape[1]
+    J = B.shape[1]
+    rows = []
+    for i in range(I):
+        cols = []
+        for j in range(J):
+            acc = A[i, 0] * B[0, j]
+            for k in range(1, K):
+                acc = acc + A[i, k] * B[k, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def const_mm_cm(C, x):
+    """Constant (i, k) numpy matrix times batch (k, ..., N) -> (i, ..., N),
+    with zero entries skipped (same rationale as mm_cm)."""
+    C = np.asarray(C)
+    rows = []
+    for i in range(C.shape[0]):
+        acc = None
+        for k in range(C.shape[1]):
+            c = float(C[i, k])
+            if c == 0.0:
+                continue
+            term = c * x[k] if c != 1.0 else x[k]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros_like(x[0])
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
+def const_mm_r_cm(x, C):
+    """Batch (..., k, N) times constant (k, j) -> (..., j, N), unrolled."""
+    if x.ndim == 2:
+        return const_mm_cm(np.asarray(C).T, x)
+    return jnp.stack([const_mm_r_cm(x[i], C) for i in range(x.shape[0])])
+
+
+def mv_cm(A, x):
+    """Small batched matvec (i, k, N) x (k, N) -> (i, N), unrolled."""
+    I, K = A.shape[0], A.shape[1]
+    rows = []
+    for i in range(I):
+        acc = A[i, 0] * x[0]
+        for k in range(1, K):
+            acc = acc + A[i, k] * x[k]
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
 def rot_T_mat_rot_cm(R, A):
     """R^T A R for (3, 3, N) arrays (unrolled)."""
-    # tmp = A @ R ; out = R^T @ tmp
-    tmp = jnp.einsum("ikn,kjn->ijn", A, R)
-    return jnp.einsum("kin,kjn->ijn", R, tmp)
+    tmp = mm_cm(A, R)
+    return mm_cm(jnp.swapaxes(R, 0, 1), tmp)  # R^T @ tmp
 
 
 # ---------------------------------------------------------------------------
@@ -150,7 +210,7 @@ def solve_dense_cm(A, b):
         masked = jnp.where(rowidx >= col, colmag, neg)
         piv = jnp.argmax(masked, axis=0)  # (N,)
         onehot = (rowidx == piv[None, :]).astype(M.dtype)  # (n, N)
-        pivrow = jnp.einsum("rn,rmn->mn", onehot, M)  # (m, N)
+        pivrow = jnp.sum(onehot[:, None, :] * M, axis=0)  # (m, N)
         # swap rows col <-> piv: row col gets pivrow; row piv gets old col
         oldcol = M[col]  # (m, N)
         is_piv = (rowidx == piv[None, :])[:, None, :]  # (n, 1, N)
@@ -193,16 +253,15 @@ def residual_cm(model, x, h, dt, Dsm, w_sm, e_n, q_n, temp_k):
     q_end = quat_multiply_cm(q_n, expmap_to_quat_cm(xi))
     R = quat_to_rmat_cm(q_end)
     d_lat = mat_to_vecd_cm(rot_T_mat_rot_cm(R, Dsm))  # (5, N)
-    w_lat = jnp.einsum("jin,jn->in", R, w_sm)  # R^T w
+    w_lat = mv_cm(jnp.swapaxes(R, 0, 1), w_sm)  # R^T w
 
     C = np.asarray(model.elast.C_dev)  # (5, 5)
     P = np.asarray(model.slip.P)  # (S, 5)
     Q = np.asarray(model.slip.Q)  # (S, 3)
-    s_lat = jnp.einsum("kl,ln->kn", jnp.asarray(C, x.dtype), e_end)
-    taus = jnp.einsum("sk,kn->sn", jnp.asarray(P, x.dtype), s_lat)
+    taus = const_mm_cm(P @ C, e_end)
     gd = _kinetics_eval(model, taus, h, temp_k, False)
-    dp = jnp.einsum("sk,sn->kn", jnp.asarray(P, x.dtype), gd)
-    wp = jnp.einsum("sk,sn->kn", jnp.asarray(Q, x.dtype), gd)
+    dp = const_mm_cm(P.T, gd)
+    wp = const_mm_cm(Q.T, gd)
     dtb = dt[None] if jnp.ndim(dt) == 1 else dt
     r_e = e_end - e_n + dtb * (dp - d_lat)
     r_xi = xi - dtb * (w_lat - wp)
@@ -223,19 +282,17 @@ def residual_and_jac_cm(model, x, h, dt, Dsm, w_sm, e_n, q_n, temp_k):
     R = quat_to_rmat_cm(q_end)
     Dlat = rot_T_mat_rot_cm(R, Dsm)  # (3, 3, N)
     d_lat = mat_to_vecd_cm(Dlat)
-    w_lat = jnp.einsum("jin,jn->in", R, w_sm)
+    w_lat = mv_cm(jnp.swapaxes(R, 0, 1), w_sm)
 
-    C = jnp.asarray(np.asarray(model.elast.C_dev), dtype)
-    P = jnp.asarray(np.asarray(model.slip.P), dtype)
-    Q = jnp.asarray(np.asarray(model.slip.Q), dtype)
-    PC = jnp.asarray(np.asarray(model.slip.P) @ np.asarray(model.elast.C_dev),
-                     dtype)  # (S, 5)
+    C = np.asarray(model.elast.C_dev)
+    P = np.asarray(model.slip.P)
+    Q = np.asarray(model.slip.Q)
+    PC = P @ C  # (S, 5)
 
-    s_lat = jnp.einsum("kl,ln->kn", C, e_end)
-    taus = jnp.einsum("sk,kn->sn", P, s_lat)
+    taus = const_mm_cm(PC, e_end)
     gd, slope = _kinetics_eval(model, taus, h, temp_k, True)
-    dp = jnp.einsum("sk,sn->kn", P, gd)
-    wp = jnp.einsum("sk,sn->kn", Q, gd)
+    dp = const_mm_cm(P.T, gd)
+    wp = const_mm_cm(Q.T, gd)
 
     dtb = dt[None] if jnp.ndim(dt) == 1 else dt
     dtb2 = dtb[None] if jnp.ndim(dt) == 1 else dt
@@ -244,24 +301,26 @@ def residual_and_jac_cm(model, x, h, dt, Dsm, w_sm, e_n, q_n, temp_k):
     r = jnp.concatenate([r_e, r_xi], axis=0)
 
     # kinetics blocks: J_ee = I + dt P^T diag(slope) P C, J_xe analogous
+    # (constant coefficient tables contracted against slope, unrolled)
     eye5 = jnp.asarray(np.eye(5), dtype)[:, :, None]
     eye3 = jnp.asarray(np.eye(3), dtype)[:, :, None]
-    J_ee = eye5 + dtb2 * jnp.einsum("sk,sn,sl->kln", P, slope, PC)
-    J_xe = dtb2 * jnp.einsum("sk,sn,sl->kln", Q, slope, PC)
+    S = P.shape[0]
+    W_P = np.einsum("sk,sl->kls", P, PC).reshape(25, S)
+    W_Q = np.einsum("sk,sl->kls", Q, PC).reshape(15, S)
+    J_ee = eye5 + dtb2 * const_mm_cm(W_P, slope).reshape(5, 5, -1)
+    J_xe = dtb2 * const_mm_cm(W_Q, slope).reshape(3, 5, -1)
 
     # kinematics block: right-increment derivative at the current xi
     # d(D_lat)/d xi_k ~= D_lat K_k - K_k D_lat,  (K_k)_ij = eps_ikj
     # d(w_lat)/d xi_k ~= (w_lat x e_k)_i = eps_ijk w_lat_j
-    eps = jnp.asarray(_EPS, dtype)
-    # commutator: (Dlat K_k - K_k Dlat)_ij, K_k(i, j) = eps[i, k, j]
-    K = jnp.transpose(eps, (0, 2, 1))  # K[k] = eps[i,k,j] -> K[k,i,j]? see below
-    # build K_k explicitly: (K_k)_ij = eps_ikj
-    Kmats = jnp.stack([eps[:, k, :] for k in range(3)])  # (3k, 3i, 3j)
-    dD = (jnp.einsum("imn,kmj->ijkn", Dlat, Kmats)
-          - jnp.einsum("kim,mjn->ijkn", Kmats, Dlat))  # (3i,3j,3k,N)
-    ddlat_dxi = jnp.stack(
-        [mat_to_vecd_cm(dD[:, :, k]) for k in range(3)], axis=1)  # (5,3,N)
-    dwlat_dxi = jnp.einsum("ijk,jn->ikn", eps, w_lat)  # (3i,3k,N)
+    ddlat_cols = []
+    for k in range(3):
+        Kk = _EPS[:, k, :]  # (3, 3) constant
+        dDk = const_mm_r_cm(Dlat, Kk) - const_mm_cm(Kk, Dlat)
+        ddlat_cols.append(mat_to_vecd_cm(dDk))  # (5, N)
+    ddlat_dxi = jnp.stack(ddlat_cols, axis=1)  # (5, 3, N)
+    dwlat_dxi = const_mm_cm(
+        _EPS.transpose(0, 2, 1).reshape(9, 3), w_lat).reshape(3, 3, -1)
 
     J_exi = -dtb2 * ddlat_dxi
     J_xxi = eye3 - dtb2 * dwlat_dxi
@@ -307,8 +366,8 @@ def dogleg_cm(resjac_fn, x0, tol, max_iter, active0=None):
                              p_newton, jnp.zeros_like(p_newton))
         pn_norm = norm0ax(p_newton)
 
-        g = jnp.einsum("ijn,in->jn", J, r)  # J^T r
-        Jg = jnp.einsum("ijn,jn->in", J, g)
+        g = mv_cm(jnp.swapaxes(J, 0, 1), r)  # J^T r
+        Jg = mv_cm(J, g)
         gnorm2 = jnp.sum(g * g, axis=0)
         denom = jnp.sum(Jg * Jg, axis=0)
         alpha = gnorm2 / jnp.maximum(denom, tiny)
@@ -332,7 +391,7 @@ def dogleg_cm(resjac_fn, x0, tol, max_iter, active0=None):
         r_trial, J_trial = resjac_fn(x_trial)
         phi = 0.5 * jnp.sum(r * r, axis=0)
         phi_trial = 0.5 * jnp.sum(r_trial * r_trial, axis=0)
-        lin = r + jnp.einsum("ijn,jn->in", J, p)
+        lin = r + mv_cm(J, p)
         pred = phi - 0.5 * jnp.sum(lin * lin, axis=0)
         rho = (phi - phi_trial) / jnp.maximum(pred, tiny)
         finite = jnp.all(jnp.isfinite(r_trial), axis=0)
@@ -375,7 +434,8 @@ def _initial_guess_cm(model, dt_sub, Dsm, deff, e_c, q_c, h_c):
     e_trial = e_c + dt_sub[None] * d_lat
     C = jnp.asarray(np.asarray(model.elast.C_dev), e_c.dtype)
     P = jnp.asarray(np.asarray(model.slip.P), e_c.dtype)
-    taus = jnp.einsum("sk,kl,ln->sn", P, C, e_trial)
+    taus = const_mm_cm(np.asarray(model.slip.P) @
+                       np.asarray(model.elast.C_dev), e_trial)
     kin = model.kinetics
     if hasattr(kin, "_strength"):
         g = kin._strength(h_c.T)[..., 0].T  # (N,)
@@ -467,7 +527,8 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
                 # gdots at the solution (with the hardness the solve saw)
                 C = jnp.asarray(np.asarray(model.elast.C_dev), dtype)
                 P = jnp.asarray(np.asarray(model.slip.P), dtype)
-                taus = jnp.einsum("sk,kl,ln->sn", P, C, x[:5])
+                taus = const_mm_cm(np.asarray(model.slip.P) @
+                                   np.asarray(model.elast.C_dev), x[:5])
                 gd = _kinetics_eval(model, taus, h, temp_k, False)
                 h = kin.update_h(h_c.T, gd.T, dt_sub[:, None], temp_k).T
             return (x, h_used, h, it_tot + iters,
@@ -510,7 +571,8 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
         # substeps all ran against the frozen step-begin hardness)
         C = jnp.asarray(np.asarray(model.elast.C_dev), dtype)
         P = jnp.asarray(np.asarray(model.slip.P), dtype)
-        taus = jnp.einsum("sk,kl,ln->sn", P, C, e)
+        taus = const_mm_cm(np.asarray(model.slip.P) @
+                           np.asarray(model.elast.C_dev), e)
         gd = _kinetics_eval(model, taus, h0, temp_k, False)
         h = kin.update_h(h0.T, gd.T, dt, temp_k).T
         h_used = h0
@@ -539,11 +601,12 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
 def _vecd_rot5_cm(R):
     """(5, 5, N) rotation acting on vecd components: vecd(R A R^T)."""
     B = tn.BASIS_DEV
+    RT = jnp.swapaxes(R, 0, 1)
     cols = []
     for k in range(5):
-        RBkRT = jnp.einsum("imn,mk,jkn->ijn", R, jnp.asarray(B[k], R.dtype),
-                           R)
-        cols.append(mat_to_vecd_cm(RBkRT))  # (5, N)
+        # R @ B_k @ R^T with the constant sparse B_k folded in
+        RBk = jnp.stack([const_mm_cm(B[k].T, R[i]) for i in range(3)])
+        cols.append(mat_to_vecd_cm(mm_cm(RBk, RT)))  # (5, N)
     return jnp.stack(cols, axis=1)  # (5l, 5k, N)
 
 
@@ -623,7 +686,8 @@ def tangent_cm_core(model, dt, d_cm, w_cm, e0, q0, h0_cm, x_cm, h_sol_cm,
     P = jnp.asarray(np.asarray(model.slip.P), dtype)
     Q = jnp.asarray(np.asarray(model.slip.Q), dtype)
     e_end, xi = x[:5], x[5:]
-    taus = jnp.einsum("sk,kl,ln->sn", P, C, e_end)  # (S, N)
+    taus = const_mm_cm(np.asarray(model.slip.P) @
+                       np.asarray(model.elast.C_dev), e_end)  # (S, N)
 
     if lagged:
         # Stress of the staggered map depends on h only through the
@@ -693,36 +757,39 @@ def tangent_cm_core(model, dt, d_cm, w_cm, e0, q0, h0_cm, x_cm, h_sol_cm,
     q_end = quat_multiply_cm(q0, expmap_to_quat_cm(xi))
     R = quat_to_rmat_cm(q_end)
     # d_lat = Q5(R^T) d  ->  d r_e / d d = -dt * Q5(R^T)
-    Q5T = _vecd_rot5_cm(jnp.einsum("ijn->jin", R))  # rotation by R^T
+    Q5T = _vecd_rot5_cm(jnp.swapaxes(R, 0, 1))  # rotation by R^T
     dR_dd = jnp.concatenate(
         [-dt * Q5T, jnp.zeros((3 + nh_z, 5, N), dtype)], axis=0)
     # Row-equilibrated solve + one defect-correction pass (cheap in f64,
     # essential in f32: the dt*slope row scales would otherwise swamp
     # the factorization).
     dz = solve_dense_cm_eq(Jz, dR_dd)
-    resid = dR_dd - jnp.einsum("izn,zkn->ikn", Jz, dz)
+    resid = dR_dd - mm_cm(Jz, dz)
     dz = dz + solve_dense_cm_eq(Jz, resid)
     dz_dd = -dz  # (8+nh, 5, N)
 
     # stress sensitivity: sigma_sm_vecd = Q5(R) (C e) / v1
-    s_lat_mat = vecd_to_mat_cm(jnp.einsum("kl,ln->kn", C, e_end))
+    s_lat_mat = vecd_to_mat_cm(
+        const_mm_cm(np.asarray(model.elast.C_dev), e_end))
     Q5 = _vecd_rot5_cm(R)
-    ds_de = jnp.einsum("lkn,km->lmn", Q5, C) / v1[None, None, :]
+    ds_de = const_mm_r_cm(Q5, np.asarray(model.elast.C_dev)) \
+        / v1[None, None, :]
     # ds/dxi via the right-increment commutator: R (K_k S - S K_k) R^T
-    Kmats = jnp.stack([jnp.asarray(_EPS, dtype)[:, k, :] for k in range(3)])
-    comm = (jnp.einsum("kim,mjn->ijkn", Kmats, s_lat_mat)
-            - jnp.einsum("imn,kmj->ijkn", s_lat_mat, Kmats))
-    ds_dxi = jnp.stack(
-        [mat_to_vecd_cm(jnp.einsum("imn,mjn,kjn->ikn", R, comm[:, :, k], R))
-         for k in range(3)], axis=1) / v1[None, None, :]
+    RT = jnp.swapaxes(R, 0, 1)
+    ds_dxi_cols = []
+    for k in range(3):
+        Kk = _EPS[:, k, :]  # (3, 3) constant
+        comm_k = const_mm_cm(Kk, s_lat_mat) - const_mm_r_cm(s_lat_mat, Kk)
+        ds_dxi_cols.append(mat_to_vecd_cm(mm_cm(R, mm_cm(comm_k, RT))))
+    ds_dxi = jnp.stack(ds_dxi_cols, axis=1) / v1[None, None, :]
     ds_dz = jnp.concatenate(
         [ds_de, ds_dxi, jnp.zeros((5, nh_z, N), dtype)],
         axis=1)  # (5, 8+nh_z, N)
 
-    ds_dd = jnp.einsum("lzn,zkn->lkn", ds_dz, dz_dd)  # (5, 5, N)
-    Ms = jnp.asarray(M_SVEC_FROM_VECD, dtype)
-    Me = jnp.asarray(M_VECD_FROM_SVEC_ENG, dtype)
-    c_dev = jnp.einsum("al,lkn,kb->abn", Ms, ds_dd / dt, Me)  # (6, 6, N)
+    ds_dd = mm_cm(ds_dz, dz_dd)  # (5, 5, N)
+    c_dev = const_mm_cm(
+        M_SVEC_FROM_VECD, const_mm_r_cm(ds_dd / dt,
+                                        M_VECD_FROM_SVEC_ENG))  # (6,6,N)
     m6 = jnp.asarray(IDENT_VOL, dtype)
     k_eff = model.eos.dpressure_dvolstrain(v1)  # (N,)
     c_full = c_dev + k_eff[None, None, :] * (m6[:, None, None]
@@ -770,13 +837,13 @@ def outputs_from_solution_cm(model, dt, d_cm, w_cm, v0, v1, e_int_n, e0,
 
     C = jnp.asarray(np.asarray(model.elast.C_dev), dtype)
     P = jnp.asarray(np.asarray(model.slip.P), dtype)
-    s_lat = jnp.einsum("kl,ln->kn", C, e_end)  # (5, N)
-    taus = jnp.einsum("sk,kn->sn", P, s_lat)  # (S, N)
+    s_lat = const_mm_cm(np.asarray(model.elast.C_dev), e_end)  # (5, N)
+    taus = const_mm_cm(np.asarray(model.slip.P), s_lat)  # (S, N)
     gd = _kinetics_eval(model, taus, h_used, temp_k, False)  # (S, N)
-    dp_lat = jnp.einsum("sk,sn->kn", P, gd)  # (5, N)
+    dp_lat = const_mm_cm(np.asarray(model.slip.P).T, gd)  # (5, N)
 
     q5 = _vecd_rot5_cm(r_end)  # (5, 5, N)
-    s_sm_vecd = jnp.einsum("kln,ln->kn", q5, s_lat) / v1[None]
+    s_sm_vecd = mv_cm(q5, s_lat) / v1[None]
     pressure = model.eos.pressure(v1, e_int_n)
 
     shrate_eff = _SQR2B3 * jnp.sqrt(jnp.sum(dp_lat * dp_lat, axis=0))
