@@ -30,6 +30,7 @@ import jax
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 PEAK_BF16 = 197e12  # TPU v5e chip peak (bf16 FLOP/s)
+PEAK_HBM_BW = 819e9  # TPU v5e HBM bandwidth (bytes/s)
 
 
 def material_throughput(system, v0, x0, state, ess_flat):
@@ -55,17 +56,22 @@ def material_throughput(system, v0, x0, state, ess_flat):
         jax.block_until_ready(out)
     secs = (time.perf_counter() - t0) / reps
 
-    # XLA cost-model FLOPs of the compiled fused step (for MFU/roofline)
-    flops = None
+    # XLA cost-model FLOPs + HBM traffic of the compiled fused step
+    # (roofline: this workload is a deep f64/f32 implicit point solve --
+    # VPU/transcendental-bound, not MXU matmul-bound -- so bf16-peak MFU
+    # is reported only as the conventional lower bound, alongside the
+    # HBM-bandwidth utilization that actually binds elementwise phases)
+    flops, hbm_bytes = None, None
     try:
         comp = jax.jit(step.__wrapped__).lower(v, x, st, dt,
                                                ess_flat).compile()
         ca = comp.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         flops = float(ca.get("flops", 0.0)) or None
+        hbm_bytes = float(ca.get("bytes accessed", 0.0)) or None
     except Exception:
         pass
-    return evals_per_step / secs, secs, flops
+    return evals_per_step / secs, secs, flops, hbm_bytes
 
 
 def newton_step_time(ncuts=(32, 32, 32)):
@@ -106,8 +112,8 @@ def main():
     from __graft_entry__ import _tiny_problem
 
     system, v0, x0, state, ess_flat = _tiny_problem([16, 16, 16])
-    evals_s, step_secs, flops = material_throughput(system, v0, x0, state,
-                                                    ess_flat)
+    evals_s, step_secs, flops, hbm_bytes = material_throughput(
+        system, v0, x0, state, ess_flat)
 
     nk_secs, nk_npts, nk_iters = newton_step_time()
 
@@ -135,6 +141,10 @@ def main():
         out["fused_step_gflops"] = flops / 1e9
         out["fused_step_gflops_per_s"] = flops / step_secs / 1e9
         out["mfu_bf16"] = flops / step_secs / PEAK_BF16
+    if hbm_bytes:
+        out["fused_step_hbm_gb"] = hbm_bytes / 1e9
+        out["hbm_gbytes_per_s"] = hbm_bytes / step_secs / 1e9
+        out["hbm_bw_utilization"] = hbm_bytes / step_secs / PEAK_HBM_BW
     print(json.dumps(out))
 
 
