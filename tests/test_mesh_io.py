@@ -129,3 +129,71 @@ def test_neper_converter(tmp_path):
     assert np.allclose(x0[:, 0], 0.0)
     z0 = mesh.coords[mesh.bdr_nodes[1]]
     assert np.allclose(z0[:, 2], 0.0) and len(z0) == 6
+
+
+def _fepx_fixture(tmp_path):
+    """One 10-node tet: corners at locals 0,2,4,9, mid-edges between."""
+    corners = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    # FEpX local order: 0,2,4 base corners, 9 apex; 1,3,5 base mid-edges;
+    # 6,7,8 mid-edges rising to the apex.
+    mid = {1: (0, 1), 3: (1, 2), 5: (2, 0), 6: (0, 3), 7: (1, 3),
+           8: (2, 3)}
+    crd = np.zeros((10, 3))
+    crd[0], crd[2], crd[4], crd[9] = corners
+    for loc, (a, b) in mid.items():
+        crd[loc] = 0.5 * (corners[a] + corners[b])
+    lines = ["header"]
+    for i, p in enumerate(crd):
+        lines.append("%d %g %g %g" % (i + 1, *p))
+    lines.append("1 " + " ".join(str(i + 1) for i in range(10)))
+    (tmp_path / "t1.mesh").write_text("\n".join(lines) + "\n")
+    (tmp_path / "t1.grain").write_text("1 els\n7 1\n")
+    (tmp_path / "t1.kocks").write_text("head\n1 grains\n10. 20. 30.\nfoot\n")
+    return crd
+
+
+def test_fepx_converter(tmp_path):
+    crd = _fepx_fixture(tmp_path)
+    script = os.path.join(REPO, "scripts", "meshing", "fepx_mesh.py")
+    ori = tmp_path / "ori.txt"
+    out = tmp_path / "t1.vtk"
+    subprocess.run(
+        [sys.executable, script, str(tmp_path / "t1"), "-o", str(out),
+         "--ori-file", str(ori)], check=True)
+
+    txt = out.read_text().splitlines()
+    assert "POINTS 10 double" in txt
+    i = txt.index("POINTS 10 double")
+    pts = np.array([[float(x) for x in l.split()] for l in txt[i + 1:i + 11]])
+    np.testing.assert_allclose(pts, crd, atol=1e-12)
+    i = next(k for k, l in enumerate(txt) if l.startswith("CELLS"))
+    cell = [int(x) for x in txt[i + 1].split()]
+    # VTK quadratic tet: 4 corners (FEpX locals 0,2,4,9) then 6 mid-edges
+    assert cell == [10, 0, 2, 4, 9, 1, 3, 5, 6, 7, 8]
+    i = next(k for k, l in enumerate(txt) if l.startswith("CELL_TYPES"))
+    assert txt[i + 1].strip() == "24"
+    assert "SCALARS material int" in txt
+    i = txt.index("SCALARS material int")
+    assert txt[i + 2].strip() == "7"
+
+    q = np.loadtxt(ori)
+    assert q.shape == (4,) and abs(np.linalg.norm(q) - 1) < 1e-12
+    # Kocks (psi,theta,phi) -> Bunge ZXZ (psi+90, theta, 90-phi):
+    # rebuild the rotation matrix and check the quaternion matches it.
+    psi1, cap, psi2 = np.deg2rad([10 + 90.0, 20.0, 90 - 30.0])
+
+    def rz(a):
+        return np.array([[np.cos(a), np.sin(a), 0],
+                         [-np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+
+    rx = np.array([[1.0, 0, 0],
+                   [0, np.cos(cap), np.sin(cap)],
+                   [0, -np.sin(cap), np.cos(cap)]])
+    r_ref = rz(psi2) @ rx @ rz(psi1)
+    w, x, y, z = q
+    r_q = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y + w * z), 2 * (x * z - w * y)],
+        [2 * (x * y - w * z), 1 - 2 * (x * x + z * z), 2 * (y * z + w * x)],
+        [2 * (x * z + w * y), 2 * (y * z - w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    np.testing.assert_allclose(r_q, r_ref, atol=1e-12)
