@@ -270,3 +270,72 @@ def test_order2_simulation_smoke(tmp_path):
     assert np.isfinite(s).all()
     # elastic-plastic: first step mostly elastic, stress reasonable
     assert 0.01 < s[-1, 2] < 0.08
+
+
+def test_hcp_taylor_rigid_plastic_consistency():
+    """Quantitative HCP check: the implicit point solve must reach the
+    rigid-viscoplastic steady state computed by an independent solver.
+
+    With hardening disabled (h0 = 0) and a traceless symmetric velocity
+    gradient, the fully-developed stress solves
+
+        sum_s gdot(P_s : sigma) P_s = d        (5-dim, deviatoric)
+
+    independent of the production dogleg/staggered machinery.  c-axis
+    extension on HCP activates only the 12 pyramidal <c+a> systems
+    (basal and prismatic have zero Schmid factor), so this also pins the
+    slip-geometry anisotropy quantitatively.
+    """
+    from exaconstit_tpu.models import elasticity, kinetics, slip_geom
+    from exaconstit_tpu.models.ecmech import ECMechModel
+    from exaconstit_tpu.models.eos import EosConst
+    from exaconstit_tpu.models.evptn import EvptnModel
+    from exaconstit_tpu.utils.tensors import BASIS_DEV, svec_to_vecd
+
+    xm, gdot0, g0 = 0.1, 1.0, 0.01
+    kin = kinetics.VocePL(mu=45.0, xm=xm, gdot0=gdot0, h0=0.0, g0=g0,
+                          gs0=2 * g0, xms=0.0, gam_s=1.0, hdn_init=g0)
+    slip = slip_geom.hcp24()
+    elast = elasticity.hexagonal(162.4, 92.0, 69.0, 180.7, 46.7)
+    model = ECMechModel(
+        evptn=EvptnModel(slip=slip, elast=elast, kinetics=kin,
+                         eos=EosConst(bulk=elast.bulk)),
+        temp_k=300.0, nslip=24, n_h=1)
+
+    D = np.diag([-5e-4, -5e-4, 1e-3])
+    d_vecd = np.einsum("kij,ij->k", BASIS_DEV, D)
+
+    # --- independent rigid-viscoplastic solve (numpy Newton with
+    # rate-sensitivity continuation) -----------------------------------
+    P = np.asarray(slip.P, dtype=np.float64)
+    sig = g0 * d_vecd / np.linalg.norm(d_vecd)
+    for xm_c in (1.0, 0.5, 0.25, 0.1):
+        for _ in range(80):
+            tau = P @ sig
+            mag = gdot0 * np.abs(tau / g0) ** (1.0 / xm_c)
+            r = P.T @ (np.sign(tau) * mag) - d_vecd
+            slope = mag / (xm_c * np.maximum(np.abs(tau), 1e-30))
+            J = (P.T * slope) @ P
+            step = np.linalg.solve(J, r)
+            # cap the tau step to keep the power law in range
+            nrm = np.max(np.abs(P @ step))
+            sig = sig - step * min(1.0, 0.2 * g0 / max(nrm, 1e-30))
+        assert np.linalg.norm(r) < 1e-9 * np.linalg.norm(d_vecd), xm_c
+
+    # basal + prismatic resolved stresses vanish for c-axis extension
+    tau = P @ sig
+    assert np.max(np.abs(tau[:6])) < 1e-12 * np.max(np.abs(tau))
+    assert np.max(np.abs(tau[6:])) > 0.1 * g0
+
+    # --- production implicit solve to steady state ---------------------
+    N = 2
+    state = jnp.asarray(model.init_state(np.tile([[1.0, 0, 0, 0]], (N, 1))))
+    L = jnp.asarray(np.tile(D, (N, 1, 1)))
+    setup = jax.jit(lambda dt, d, s: model.model_setup(
+        dt, d, s, compute_tangent=False))
+    for _ in range(60):
+        stress, state, _ = setup(0.25, L, state)
+    sv = np.asarray(stress)[0]
+    got = np.asarray(svec_to_vecd(jnp.asarray(sv)))
+    rel = np.linalg.norm(got - sig) / np.linalg.norm(sig)
+    assert rel < 1e-4, (rel, got, sig)
