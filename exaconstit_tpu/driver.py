@@ -774,9 +774,15 @@ class Simulation:
             elem_quats = quats[grain_ids]  # (nelems, 4)
             pt_quats = np.repeat(elem_quats, nq, axis=0)
             state0 = self.model.init_state(pt_quats)
-        # apply non-zero entries of the state-vars file where the model's
-        # own initialization leaves defaults (reference: setStateVarData
-        # merges the file with ExaCMech's histInit; all test files are 0)
+        # Note on the state-vars file for ExaCMech models: the reference
+        # runs setStateVarData (mechanics_driver.cpp:510) but then
+        # ECMechXtalModel::init_state_vars (mechanics_ecmech.hpp:249-300)
+        # overwrites every history slot EXCEPT the quaternion splice with
+        # histInit values -- i.e. only the orientation survives.  Loading
+        # quats from the ori file and the rest from the model's own
+        # init_state reproduces that exactly; the file's non-orientation
+        # values are intentionally ignored here too (UMAT models, which
+        # keep them, splice them in above).
         state0 = state0.reshape(fes.num_elems, nq, -1)
         ne_pad = self.system.ne_pad
         if ne_pad > fes.num_elems:

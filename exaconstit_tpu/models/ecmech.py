@@ -321,7 +321,14 @@ class ECMechModel:
 # documented.
 _MTSDD_CALIBRATION = {
     # (k1, k2_0) from props_cp_mts.txt ->
-    #   per-xtal (k1_eff, k2_eff, prod_exponent a, recov_exponent b)
+    #   per-xtal (k1_eff, k2_eff, prod_exponent a, recov_exponent b
+    #             [, s_scale, c1_scale])
+    # The optional flow-strength shape factors multiply the file's s
+    # (strength-per-sqrt-density) and c_1 (activation-energy scale):
+    # the extended 6-parameter family resolves the residual curvature
+    # mismatch the 4-parameter evolution family leaves at the
+    # elastic-plastic transition (scripts/fit_mtsdd4.py, FEM
+    # offset-corrected fit, rms 2.4e-3 on the Taylor surrogate).
     (3.0e-4, 5e-5): {
         XtalType.FCC: (0.0647, 444.21, -1.38892, 1.54133),
         XtalType.BCC: (64.331, 702.32, 0.0, 1.0),
@@ -329,14 +336,35 @@ _MTSDD_CALIBRATION = {
 }
 
 
-def _apply_mtsdd_calibration(kin, xtal):
+def _calibrated_kin(kin, row):
     import dataclasses as _dc
+    k1e, k2e, pa, pb = row[:4]
+    upd = dict(k1=k1e, k2_0=k2e, prod_exponent=pa, recov_exponent=pb)
+    if len(row) > 4:
+        upd["s"] = kin.s * row[4]
+        upd["c1"] = kin.c1 * row[5]
+    return _dc.replace(kin, **upd)
+
+
+def _apply_mtsdd_calibration(kin, xtal):
+    import os as _os
+
+    # Identification hook (scripts/fit_mtsdd5.py): override the table
+    # with "FCC:k1,k2,a,b[,s_scale,c1_scale][;BCC:...]" without editing
+    # source between fit rounds.
+    env = _os.environ.get("EXACONSTIT_MTSDD_CAL")
+    if env == "file":        # raw file constants, no calibration
+        return kin
+    if env:
+        for part in env.split(";"):
+            name, _, vals = part.partition(":")
+            if name.strip().upper() == xtal.name:
+                return _calibrated_kin(
+                    kin, tuple(float(v) for v in vals.split(",")))
     for (k1, k2), table in _MTSDD_CALIBRATION.items():
         if (abs(kin.k1 - k1) < 1e-6 * abs(k1)
                 and abs(kin.k2_0 - k2) < 1e-6 * abs(k2) and xtal in table):
-            k1e, k2e, pa, pb = table[xtal]
-            return _dc.replace(kin, k1=k1e, k2_0=k2e, prod_exponent=pa,
-                               recov_exponent=pb)
+            return _calibrated_kin(kin, table[xtal])
     return kin
 
 
