@@ -35,6 +35,7 @@ from .mesh.voxel import HexMesh, make_cartesian_mesh
 from .models.ecmech import ECMechModel, build_model
 from .solvers.krylov import gmres, minres, pcg, pcg_refined
 from .utils import tensors as tn
+from .utils.guards import checked_jit
 from .utils.profiling import Regions
 
 
@@ -381,8 +382,10 @@ class MechSystem:
             state_pm = state_end.reshape(nsv, nq, ne).transpose(2, 1, 0)
             return r, k_cm, diag, stress_pm, state_pm
 
-        self._setup = jax.jit(setup_fn_cm if self.use_cm else setup_fn,
-                              static_argnums=(5,))
+        # checked_jit == jax.jit unless EXACONSTIT_CHECK_NUMERICS=1, which
+        # threads checkify NaN checks through the whole fused setup
+        self._setup = checked_jit(setup_fn_cm if self.use_cm else setup_fn,
+                                  static_argnums=(5,))
 
         def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub):
             x_end = x_beg + dt * v
