@@ -19,8 +19,8 @@ Mises (used as the self-test).  Exponent a is conventionally 8 for FCC
 and 6 for BCC.
 
 Usage:
-  python workflows/uq_sweep/barlat_fit.py sweep_flow.json [-a 8]
-      [--r-values rz.json] [--out barlat_params.json]
+  python workflows/uq_sweep/barlat_fit.py sweep_out/flow_states.json
+      [-a 8] [--r-values rz.json] [--out barlat_params.json]
 """
 
 from __future__ import annotations

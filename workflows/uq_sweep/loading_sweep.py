@@ -6,7 +6,8 @@ Workflow-parity with the reference's ExaAM Stage3 pipeline
 Barlat yield-surface fit): runs a family of constant-strain-rate
 (velocity-gradient BC) simulations spanning stress space, extracts the
 flow stress at a target plastic work, and fits a quadratic (Hill-type)
-yield surface sigma^T M sigma = 1.
+yield surface sigma^T M sigma = 1.  For the reference's full Barlat
+Yld2004-18p fit, feed the emitted flow_states.json to barlat_fit.py.
 
 Loading directions are deviatoric unit tensors sampled over the pi-plane
 plus shear directions; each case is an independent simulation (shard
