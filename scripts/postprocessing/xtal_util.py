@@ -117,3 +117,84 @@ def distance_to_fiber(c_dir, s_dir, quats, qsym):
     cs = np.einsum("nij,mj->nmi", R, c_equiv)  # (N, M, 3)
     cosang = np.abs(np.einsum("nmi,i->nm", cs, s))  # Friedel pair: |.|
     return np.arccos(np.clip(cosang.max(axis=1), -1.0, 1.0))
+
+
+def ort_symmetries():
+    """The 4 rotational symmetry quaternions of the orthorhombic lattice."""
+    return np.stack([quat_of_angle_axis(0.0, [1, 0, 0]),
+                     quat_of_angle_axis(np.pi, [1, 0, 0]),
+                     quat_of_angle_axis(np.pi, [0, 1, 0]),
+                     quat_of_angle_axis(np.pi, [0, 0, 1])])
+
+
+def quat_mean(quats, weights=None):
+    """Weighted mean orientation (Markley/Cheng/Crassidis/Oshman):
+    the dominant eigenvector of M = sum_k w_k q_k q_k^T."""
+    q = np.atleast_2d(np.asarray(quats, dtype=float))
+    w = (np.ones(q.shape[0]) if weights is None
+         else np.asarray(weights, dtype=float))
+    m = np.einsum("k,ki,kj->ij", w / w.sum(), q, q)
+    vals, vecs = np.linalg.eigh(m)
+    mq = vecs[:, -1]
+    return mq if mq[0] >= 0 else -mq
+
+
+def to_fundamental_region(quats, qsym):
+    """Symmetry-reduce crystal->sample quats: for each, the equivalent
+    q * s (s in qsym) with the largest positive scalar part (smallest
+    rotation angle representative)."""
+    q = np.atleast_2d(np.asarray(quats, dtype=float))
+    equiv = quat_prod(q[:, None, :], qsym[None, :, :])  # (N, M, 4)
+    best = np.argmax(np.abs(equiv[..., 0]), axis=1)
+    out = equiv[np.arange(len(q)), best]
+    return out * np.sign(out[:, :1])
+
+
+def misorientation(q_ref, quats, qsym):
+    """Misorientation of each quat from q_ref, symmetry-reduced.
+
+    Returns (angles [rad], misorientation quats in the fundamental
+    region).  m_k = q_ref^-1 * q_k expressed in the crystal frame.
+    """
+    qr = np.asarray(q_ref, dtype=float).reshape(4)
+    qr_inv = qr * np.array([1.0, -1, -1, -1])
+    m = quat_prod(qr_inv[None, :], np.atleast_2d(quats))
+    m = to_fundamental_region(m, qsym)
+    ang = 2.0 * np.arccos(np.clip(m[:, 0], -1.0, 1.0))
+    return ang, m
+
+
+def misorientation_spread(quats, el_vol, grains, qsym=None):
+    """Per-grain intragrain misorientation spread (radians).
+
+    The Barton & Dawson substructure metric (Met. Mat. Trans. A 32A
+    (2001) 1967): per grain, take the volume-weighted second moment of
+    the rotation vectors w_k = theta_k * n_k of each element's
+    misorientation from the grain-mean orientation,
+    W = sum_k v_k w_k w_k^T / sum_k v_k, and report sqrt(trace(W)) --
+    the volume-weighted RMS misorientation angle.  (The reference's
+    misorientationSpread computes the same trace unnormalized; the
+    normalized form is resolution-independent.)
+
+    Returns (unique_grain_ids, spread) arrays.
+    """
+    if qsym is None:
+        qsym = cubic_symmetries()
+    q = np.asarray(quats, dtype=float).reshape(-1, 4)
+    vol = np.asarray(el_vol, dtype=float).reshape(-1)
+    gr = np.asarray(grains).reshape(-1)
+    ugrains = np.unique(gr)
+    spread = np.empty(len(ugrains))
+    for n, gid in enumerate(ugrains):
+        sel = gr == gid
+        qg, wg = q[sel], vol[sel]
+        center = quat_mean(to_fundamental_region(qg, qsym), weights=wg)
+        ang, m = misorientation(center, qg, qsym)
+        # rotation vector w = theta * axis; near theta=0 the
+        # vector part already ~ theta/2 * axis, scale safely
+        s = np.where(ang > np.finfo(float).eps,
+                     ang / np.maximum(np.sin(ang / 2.0), 1e-300), 2.0)
+        wvec = m[:, 1:] * s[:, None]
+        W = np.einsum("k,ki,kj->ij", wg / wg.sum(), wvec, wvec)
+        spread[n] = np.sqrt(np.trace(W))
+    return ugrains, spread

@@ -174,3 +174,40 @@ def test_pipeline_from_simulation(tmp_path):
     assert ls.shape[1] == 2
     # tensile elastic lattice strains along z, order of the applied strain
     assert (ls > 1e-5).all() and (ls < 5e-3).all()
+
+
+def test_orientation_statistics():
+    """quat_mean / fundamental region / misorientation spread math."""
+    import xtal_util as xu
+
+    rng = np.random.default_rng(5)
+    qsym = xu.cubic_symmetries()
+
+    # a tight cloud around a random center: mean recovers the center and
+    # the spread equals the RMS misorientation angle
+    ax = rng.normal(size=3)
+    center = xu.quat_of_angle_axis(0.7, ax)
+    angles = np.deg2rad(rng.uniform(0.2, 2.0, size=200))
+    cloud = []
+    for a in angles:
+        d = xu.quat_of_angle_axis(a, rng.normal(size=3))
+        cloud.append(xu.quat_prod(center, d))
+    cloud = np.asarray(cloud)
+
+    mean = xu.quat_mean(cloud)
+    dot = abs(float(np.dot(mean, center)))
+    assert dot > np.cos(np.deg2rad(0.5) / 2)  # within half a degree
+
+    # symmetry reduction: applying a random cubic symmetry to each quat
+    # must not change misorientation angles
+    ang0, _ = xu.misorientation(center, cloud, qsym)
+    scram = xu.quat_prod(cloud, qsym[rng.integers(0, 24, len(cloud))])
+    ang1, _ = xu.misorientation(center, scram, qsym)
+    np.testing.assert_allclose(ang0, ang1, atol=1e-10)
+    np.testing.assert_allclose(ang0, angles, atol=1e-10)
+
+    gids, spread = xu.misorientation_spread(
+        cloud, np.ones(len(cloud)), np.ones(len(cloud), dtype=int), qsym)
+    rms = np.sqrt(np.mean(angles ** 2))
+    assert gids.tolist() == [1]
+    np.testing.assert_allclose(spread[0], rms, rtol=0.02)
