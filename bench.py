@@ -56,6 +56,17 @@ def material_throughput(system, v0, x0, state, ess_flat):
         jax.block_until_ready(out)
     secs = (time.perf_counter() - t0) / reps
 
+    # archive a kernel-level profiler trace of one steady-state step
+    # (EXACONSTIT_BENCH_TRACE=0 disables; view with tensorboard/xprof or
+    # perfetto on the .trace.json.gz inside)
+    tdir = os.environ.get("EXACONSTIT_BENCH_TRACE", "bench_trace")
+    if tdir not in ("", "0"):
+        try:
+            with jax.profiler.trace(tdir):
+                jax.block_until_ready(step(v, x, st, dt, ess_flat))
+        except Exception as e:  # profiling must never fail the bench
+            print(f"# trace skipped: {e}", flush=True)
+
     # XLA cost-model FLOPs + HBM traffic of the compiled fused step
     # (roofline: this workload is a deep f64/f32 implicit point solve --
     # VPU/transcendental-bound, not MXU matmul-bound -- so bf16-peak MFU
