@@ -79,7 +79,8 @@ def run_fem_curve(xtal, theta, tag):
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts",
-                                      "mtsdd_fem_curve.py"), xtal, work],
+                                      "mtsdd_fem_curve.py"), xtal, work,
+         str(int(os.environ.get("FIT5_FEM_STEPS", "32")))],
         env=env, capture_output=True, text=True)
     rows = parse_fem_log(out.stdout)
     print(f"  FEM curve [{tag}]: {len(rows)} steps in "

@@ -16,6 +16,7 @@ DATA = "/root/reference/test/data"
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "fcc"
     work = sys.argv[2] if len(sys.argv) > 2 else "."
+    max_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10 ** 9
     case, gold = {
         "fcc": ("mtsdd_full.toml", "mtsdd_full_stress.txt"),
         "bcc": ("mtsdd_bcc.toml", "mtsdd_bcc_stress.txt"),
@@ -32,7 +33,9 @@ def main():
     t0 = time.time()
     worst = 0.0
     t, ti = 0.0, 1
-    while ti <= sim.nsteps or (opt.dt_auto and t < sim.t_final - 1e-14):
+    while (ti <= min(sim.nsteps, max_steps)
+           or (opt.dt_auto and t < sim.t_final - 1e-14 and
+               ti <= max_steps)):
         if sim.cust_dt is not None:
             dt = float(sim.cust_dt[ti - 1])
         elif opt.dt_auto:
