@@ -51,7 +51,7 @@ DATA = "/root/reference/test/data"
 # CUMULATIVE per-round trust region on [ln k1, ln k2, a, b, ln s, ln c1]
 # (the frozen FEM-Taylor offset measurably breaks by |d ln c1| ~ 0.7;
 # each round's total movement stays inside this box)
-TRUST = np.array([0.25, 0.25, 0.12, 0.12, 0.04, 0.12])
+TRUST = np.array([0.6, 0.6, 0.3, 0.3, 0.1, 0.3])
 STEP_RE = re.compile(
     r"step\s+(\d+)\s+dt=\s*[\d.eE+-]+\s+szz=([+-][\d.eE+-]+)\s+"
     r"ref=([+-][\d.eE+-]+)")
@@ -140,15 +140,20 @@ def main():
               f"FEM max-rel={fem_err:.4e} rms={fem_rms:.4e} "
               f"({ncov}/{len(gold)} steps)", flush=True)
         if fem_err < best[0]:
-            # ---- 2. fresh offset at the (new) best point --------------
+            # ---- 2. fresh MULTIPLICATIVE offset at the new best point.
+            # The Taylor/FEM ratio is far more theta-stable than the
+            # difference (the flow-strength shape parameters scale both
+            # responses nearly proportionally), so the corrected target
+            # survives larger fit steps.
             thj = jnp.asarray(theta)
             betas = relax_betas(curve, thj, betas, sens, sweeps=4)
             szz0 = np.asarray(curve(thj, betas)[0])
-            delta = np.zeros(len(gold))
-            delta[steps] = rows[:, 1] - szz0[steps]
+            ratio = np.ones(len(gold))
+            ratio[steps] = np.clip(rows[:, 1] / np.maximum(
+                np.abs(szz0[steps]), 1e-12), 0.5, 2.0)
             last = steps.max()
-            delta[last + 1:] = delta[last]
-            best = (fem_err, theta.copy(), delta)
+            ratio[last + 1:] = ratio[last]
+            best = (fem_err, theta.copy(), ratio)
             trust = TRUST.copy()
         else:
             # regression: back to the best point, shrink the box, and
@@ -156,9 +161,9 @@ def main():
             print(f"  regressed (best {best[0]:.4e}); halving trust box",
                   flush=True)
             theta = best[1].copy()
-            delta = best[2]
+            ratio = best[2]
             trust = trust / 2.0
-        target = gold - delta
+        target = gold / ratio
 
         # ---- 3. bounded LM fit on the surrogate -----------------------
         lam = 1e-2
