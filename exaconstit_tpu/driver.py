@@ -854,6 +854,7 @@ class Simulation:
     def advance(self, ti, dt, verbose=True):
         opt = self.opt
         sysm = self.system
+        x_sub = None  # composed end coordinates from a subdivided solve
 
         # BC-change corrector; the reference runs this at step 1 as well
         # (update_steps always contains 1, mechanics_driver.cpp:866-878)
@@ -894,10 +895,26 @@ class Simulation:
                 self.v, self.x_beg, self.state, dt, self.cur_bcs.ess_mask,
                 verbose)
             if not conv:
+                # The reference hard-aborts on a failed fixed/custom-dt
+                # step (MFEM_VERIFY, system_driver.cpp:287-288).  We
+                # instead subdivide the step and compose sub-solves --
+                # outputs are still reported at the scheduled times, and
+                # the essential velocities (rates, constant over the
+                # step) compose exactly: x_end = x + sum_k (dt/n) v_k.
+                for nsub in (2, 4, 8):
+                    if verbose:
+                        print(f"WARNING: Newton failed at dt={dt:g}; "
+                              f"retrying with {nsub} substeps")
+                    got = self._solve_subdivided(dt, nsub, verbose)
+                    if got is not None:
+                        v, stress, state_end, x_sub = got
+                        conv = True
+                        break
+            if not conv:
                 raise RuntimeError("Newton Solver did not converge.")
 
         self.v = v
-        self.x_cur = self.x_beg + dt * v
+        self.x_cur = x_sub if x_sub is not None else self.x_beg + dt * v
         # UpdateModel: swap begin <- end (system_driver.cpp:429-443).
         # state_prev mirrors the post-swap matVars1, which the reference's
         # calcDpMat reads -- so its Dp output lags one step
@@ -907,6 +924,27 @@ class Simulation:
         self.state = state_end
         self.x_beg = self.x_cur
         return dt
+
+    def _solve_subdivided(self, dt, nsub, verbose):
+        """Advance one scheduled step as ``nsub`` composed sub-solves.
+
+        Robustness extension over the reference (which aborts): operates
+        on locals and commits nothing; returns (v, stress, state_end,
+        x_end) on success or None if any sub-solve fails.  Essential
+        velocities are rates held constant over the scheduled step, so
+        the composed end position is sum_k (dt/nsub) v_k.
+        """
+        sysm = self.system
+        v, x, state = self.v, self.x_beg, self.state
+        dts = dt / nsub
+        for _ in range(nsub):
+            v, stress, state_end, conv, nit, _ = sysm.newton_solve(
+                v, x, state, dts, self.cur_bcs.ess_mask, verbose)
+            if not conv:
+                return None
+            x = x + dts * v
+            state = state_end
+        return v, stress, state, x
 
     # -- outputs -------------------------------------------------------------
     def _append_file(self, name, text):
