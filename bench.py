@@ -126,12 +126,41 @@ def main():
     evals_s, step_secs, flops, hbm_bytes = material_throughput(
         system, v0, x0, state, ess_flat)
 
-    nk_secs, nk_npts, nk_iters = newton_step_time()
+    # VMEM-resident Pallas dogleg (solvers/dogleg_pallas.py): same
+    # protocol with the f32 stage of the point solve in the Mosaic
+    # kernel.  TPU only (the CPU fallback is the interpreter).
+    pallas_evals_s = None
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("EXACONSTIT_BENCH_PALLAS", "1") != "0"):
+        try:
+            os.environ["EXACONSTIT_PALLAS"] = "1"
+            sys_p, v0p, x0p, st_p, ess_p = _tiny_problem([16, 16, 16])
+            pallas_evals_s, _, _, _ = material_throughput(
+                sys_p, v0p, x0p, st_p, ess_p)
+        except Exception as e:  # report the XLA numbers regardless
+            print(f"# pallas bench skipped: {e}", flush=True)
+        finally:
+            os.environ.pop("EXACONSTIT_PALLAS", None)
+
+    # production-size Newton-Krylov step: 64^3 elements (2.1M qpts) per
+    # the round-1 verdict ask, falling back if the chip cannot hold it
+    nk_ncuts = None
+    for ncuts in ((64, 64, 64), (48, 48, 48), (32, 32, 32)):
+        try:
+            nk_secs, nk_npts, nk_iters = newton_step_time(ncuts)
+            nk_ncuts = ncuts
+            break
+        except Exception as e:
+            print(f"# newton-step bench at {ncuts} failed: {e}",
+                  flush=True)
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f).get("value")
+    xla_evals_s = evals_s
+    if pallas_evals_s:
+        evals_s = max(evals_s, pallas_evals_s)
     vs_baseline = evals_s / baseline if baseline else 1.0
     if baseline is None:
         with open(BASELINE_FILE, "w") as f:
@@ -147,7 +176,12 @@ def main():
         "newton_step_qpts": nk_npts,
         "newton_step_iters": nk_iters,
         "newton_step_qpt_evals_per_s": nk_npts * max(nk_iters, 1) / nk_secs,
+        "newton_step_mesh": list(nk_ncuts) if nk_ncuts else None,
     }
+    if pallas_evals_s:
+        out["pallas_evals_per_s"] = pallas_evals_s
+        out["xla_evals_per_s"] = xla_evals_s
+        out["pallas_speedup"] = pallas_evals_s / xla_evals_s
     if flops:
         out["fused_step_gflops"] = flops / 1e9
         out["fused_step_gflops_per_s"] = flops / step_secs / 1e9

@@ -213,7 +213,8 @@ class ECMechModel:
         production staggered component-major scheme)."""
         ev = self.evptn
         return (ev.engine == "cm" and ev.hardness_mode == "staggered"
-                and ev.flow_theta == 1.0 and ev.h_gd_source == "converged")
+                and ev.flow_theta == 1.0 and ev.h_gd_source == "converged"
+                and ev.rot_frame == "end" and ev.h_order == "after")
 
     def model_setup_cm(self, dt, vgrad_cm, state_beg_cm,
                        compute_tangent=True, nsub=None):
@@ -228,8 +229,7 @@ class ECMechModel:
         from . import evptn_cm
 
         ev = self.evptn
-        if not (ev.engine == "cm" and ev.hardness_mode == "staggered"
-                and ev.flow_theta == 1.0 and ev.h_gd_source == "converged"):
+        if not self.supports_cm:
             raise NotImplementedError(
                 "model_setup_cm implements the production staggered scheme "
                 "only; experimental knobs use model_setup")
@@ -412,8 +412,11 @@ def build_model(opt: ExaOptions, props: np.ndarray) -> ECMechModel:
     # f64 polish stops contracting -- which puts a noise floor under the
     # outer FEM Newton and stalls it.  Solve MTSDD fully in f64.
     mixed = opt.slip_type != SlipType.MTSDD
+    import os as _os
+    use_pallas = (mixed
+                  and _os.environ.get("EXACONSTIT_PALLAS", "0") == "1")
     evptn = EvptnModel(slip=slip, elast=elast, kinetics=kin, eos=eos,
                        solver_tol=max(float(tol), 1e-14),
-                       mixed_precision=mixed)
+                       mixed_precision=mixed, use_pallas=use_pallas)
     return ECMechModel(evptn=evptn, temp_k=opt.temp_k, nslip=slip.nslip,
                        n_h=kin.n_h)

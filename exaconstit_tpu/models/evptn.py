@@ -119,6 +119,19 @@ class EvptnModel:
     #   "gd_begin"  -> gdots at the substep's BEGIN state (the stored rates)
     #   "h_forward" -> converged gdots, explicit (forward-Euler) h update
     h_gd_source: str = "converged"
+    # lattice-frame transformation of the applied (d, w) inside a substep
+    # (scheme identification; vmap engine only):
+    #   "end"   -> implicit, via R(q_end(xi)) (production)
+    #   "begin" -> explicit, via R(q_begin) — (d_lat, w_lat) constant over
+    #              the substep solve
+    rot_frame: str = "end"
+    # hardness update order within a substep (vmap engine only):
+    #   "after"  -> solve (e, xi) against the begin-of-substep h, then
+    #               update h (production)
+    #   "before" -> update h first from the begin-state slip rates, then
+    #               solve (e, xi) against the UPDATED h (one-way lagged
+    #               predictor ordering)
+    h_order: str = "after"
     # mixed precision: run the stiff trust-region iteration in f32 (fast on
     # TPU, where f64 is emulated), then polish with a few plain f64 Newton
     # steps -- full f64 accuracy (validated ~3e-8 rel stress vs pure f64)
@@ -134,6 +147,13 @@ class EvptnModel:
     # "vmap" -> per-point formulation vmapped over the batch (reference
     #           implementation; also used for the coupled hardness mode)
     engine: str = "cm"
+    # Pallas VMEM-resident dogleg kernel for the f32 stage of the mixed-
+    # precision solve (solvers/dogleg_pallas.py): the whole trust-region
+    # iteration runs per point-tile out of VMEM with per-tile early exit
+    # instead of streaming the ~340 B/point loop carry through HBM every
+    # iteration.  Voce kinetics only; enabled via EXACONSTIT_PALLAS=1
+    # (interpret-mode fallback on CPU keeps tests runnable anywhere).
+    use_pallas: bool = False
     # consistent-tangent provenance (see evptn_cm.tangent_cm):
     # "lagged"  -> exact derivative of the production staggered map (the
     #              (e, xi) system at the frozen h the final pass solved
@@ -158,11 +178,13 @@ def _residual(model: EvptnModel, x, h, dt, d_vecd_sm, w_vec_sm, e_n, q_n,
     """The 8-dim backward-Euler residual at one point."""
     e_end = x[:5]
     xi = x[5:]
-    dq = tn.expmap_to_quat(xi)
-    q_end = tn.quat_multiply(q_n, dq)
-    r_end = tn.quat_to_rmat(q_end)
-    d_lat = tn.rotate_vecd(r_end.T, d_vecd_sm)
-    w_lat = r_end.T @ w_vec_sm
+    if model.rot_frame == "begin":
+        r_frame = tn.quat_to_rmat(q_n)
+    else:
+        dq = tn.expmap_to_quat(xi)
+        r_frame = tn.quat_to_rmat(tn.quat_multiply(q_n, dq))
+    d_lat = tn.rotate_vecd(r_frame.T, d_vecd_sm)
+    w_lat = r_frame.T @ w_vec_sm
 
     s_lat = model.elast.stress_vecd(e_end)  # deviatoric Kirchhoff, lattice
     P = jnp.asarray(model.slip.P, dtype=x.dtype)  # (S, 5)
@@ -199,11 +221,13 @@ def _residual_and_jac(model: EvptnModel, x, h, dt, d_vecd_sm, w_vec_sm, e_n,
     C = jnp.asarray(model.elast.C_dev, dtype=x.dtype)
 
     def kinematics(xi):
-        dq = tn.expmap_to_quat(xi)
-        q_end = tn.quat_multiply(q_n, dq)
-        r_end = tn.quat_to_rmat(q_end)
-        d_lat = tn.rotate_vecd(r_end.T, d_vecd_sm)
-        w_lat = r_end.T @ w_vec_sm
+        if model.rot_frame == "begin":
+            r_frame = tn.quat_to_rmat(q_n)
+        else:
+            dq = tn.expmap_to_quat(xi)
+            r_frame = tn.quat_to_rmat(tn.quat_multiply(q_n, dq))
+        d_lat = tn.rotate_vecd(r_frame.T, d_vecd_sm)
+        w_lat = r_frame.T @ w_vec_sm
         return jnp.concatenate([d_lat, w_lat])
 
     kin, dkin_dxi = kinematics(xi), jax.jacfwd(kinematics)(xi)  # (8,), (8,3)
@@ -369,6 +393,20 @@ def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
 
         def stag_body(_, carry):
             x, h_used, h, it_tot, conv = carry
+            if model.h_order == "before":
+                # one-way predictor ordering: advance h from the
+                # begin-of-substep slip rates, then solve against it
+                x_beg = jnp.concatenate([e_c, jnp.zeros(3, dtype=dtype)])
+                gd = _gdots_of(model, x_beg, h, temp_k)
+                if model.h_gd_source == "h_forward":
+                    h = model.kinetics.update_h_explicit(
+                        h_c, gd, dt_sub, temp_k)
+                else:
+                    h = model.kinetics.update_h(h_c, gd, dt_sub, temp_k)
+                h_used = h
+                x, ok, iters, _ = solve_exi(h)
+                return (x, h_used, h, it_tot + iters,
+                        jnp.logical_and(conv, ok))
             h_used = h
             x, ok, iters, _ = solve_exi(h)
             if model.h_per_substep:
@@ -594,7 +632,8 @@ def batched_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1,
     # route to the per-point vmap engine rather than being silently ignored
     cm_ok = (model.engine == "cm" and model.hardness_mode == "staggered"
              and model.flow_theta == 1.0
-             and model.h_gd_source == "converged")
+             and model.h_gd_source == "converged"
+             and model.rot_frame == "end" and model.h_order == "after")
     if cm_ok:
         from . import evptn_cm
         x, h_end, h_used, iters, ok = evptn_cm.solve_staggered_cm(

@@ -490,15 +490,22 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
                           Dsm.astype(f32), w_cm.astype(f32),
                           e_c.astype(f32), q_c.astype(f32))
 
-                def rj32(x):
-                    return residual_and_jac_cm(model, x, args32[0],
-                                               args32[1], args32[2],
-                                               args32[3], args32[4],
-                                               args32[5], temp_k)
+                if getattr(model, "use_pallas", False):
+                    from ..solvers.dogleg_pallas import dogleg_pallas
+                    x32, ok, iters, _, J32 = dogleg_pallas(
+                        model, x0.astype(f32), args32[0], args32[1],
+                        d_cm.astype(f32), args32[3], args32[4], args32[5],
+                        active, model.fast_tol, model.solver_max_iter)
+                else:
+                    def rj32(x):
+                        return residual_and_jac_cm(model, x, args32[0],
+                                                   args32[1], args32[2],
+                                                   args32[3], args32[4],
+                                                   args32[5], temp_k)
 
-                x32, ok, iters, _, J32 = dogleg_cm(
-                    rj32, x0.astype(f32), model.fast_tol,
-                    model.solver_max_iter, active0=active)
+                    x32, ok, iters, _, J32 = dogleg_cm(
+                        rj32, x0.astype(f32), model.fast_tol,
+                        model.solver_max_iter, active0=active)
                 x = x32.astype(dtype)
 
                 def polish(_, x):

@@ -101,7 +101,13 @@ def main():
     ap.add_argument("--fem-log", default=None)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--lm-iters", type=int, default=12)
+    ap.add_argument("--trust", default=None,
+                    help="comma list overriding the per-component trust "
+                         "box (0 pins a component, e.g. to hold the "
+                         "classic a=0.5,b=1 exponents fixed)")
     args = ap.parse_args()
+    if args.trust:
+        TRUST[:] = [float(v) for v in args.trust.split(",")]
 
     k1, k2, a, b, ss, cs = args.init
     theta = np.array([np.log(k1), np.log(k2), a, b, np.log(ss),
