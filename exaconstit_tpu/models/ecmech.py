@@ -308,7 +308,18 @@ class ECMechModel:
 # identified against the reference's golden stress curves.  ExaCMech's
 # source is unavailable in this environment and the documented parameter
 # reading (drho/dGamma = k1 sqrt(rho) - k2 rho with the file's k1, k2_0)
-# hardens orders of magnitude more slowly than every MTSDD golden, so
+# hardens orders of magnitude more slowly than every MTSDD golden.
+# Cross-check that the discrepancy is a normalization internal to the
+# closed-source library and not a mis-reading of the parameter order:
+# the reference also ships an LLNL-calibrated IN625 parameter set
+# (test/data/props_cp_mts_in625.txt) with rho_dd_init = 1.0, k1 = 100,
+# k2_0 = 1 — under the SAME documented reading that set yields a
+# physically sensible initial hardening rate (theta_0 ~ E/40) and
+# saturation, while the copper test set (rho_dd_init = 9e-4, k1 = 3e-4)
+# under-hardens its own goldens by ~1e4.  Any density normalization by
+# rho_dd_init inside the library is invisible for IN625 (rho0 = 1) but
+# rescales the copper constants by powers of 1/9e-4 — consistent with
+# the magnitude of the identified effective constants below.  So
 # the generalized family drho/dGamma = K1 rho^a - K2(gdot) rho^b is
 # identified per crystal branch with a two-level loop
 # (scripts/fit_mtsdd3.py + fit_mtsdd4.py): a Levenberg-Marquardt fit

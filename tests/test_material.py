@@ -191,6 +191,27 @@ def test_mtsdd_smoke():
     assert float(jnp.abs(st[:, 14:26]).sum()) > 0.0
 
 
+def test_mtsdd_in625_props_smoke():
+    """The reference's second shipped MTS parameter set (IN625, MPa
+    units, rho_dd_init = 1: test/data/props_cp_mts_in625.txt) builds and
+    integrates with a finite consistent tangent — it takes the
+    UNcalibrated structural path (constants differ from the copper test
+    set), covering the published-form branch of the KMBalD kinetics."""
+    opt = parse_options("/root/reference/test/data/mtsdd_full.toml")
+    props = np.loadtxt(
+        "/root/reference/test/data/props_cp_mts_in625.txt")
+    model = build_model(opt, props)
+    assert model.evptn.kinetics.k1 == 100.0  # uncalibrated file values
+    N = 4
+    state = jnp.asarray(model.init_state(np.tile([[1.0, 0, 0, 0]],
+                                                 (N, 1))))
+    L = jnp.asarray(np.tile(np.diag([-5e-4, -5e-4, 1e-3]), (N, 1, 1)))
+    stress, st, tang = model.model_setup(0.01, L, state)
+    assert np.isfinite(np.asarray(stress)).all()
+    assert np.isfinite(np.asarray(st)).all()
+    assert np.isfinite(np.asarray(tang)).all()
+
+
 def test_state_layout_matches_reference_convention(voce_model):
     model, _ = voce_model
     m = model.qf_mapping
