@@ -100,8 +100,15 @@ _MODEL_DB = {
     (SlipType.POWERVOCENL, XtalType.BCC): (18, 12, 1),
     (SlipType.MTSDD, XtalType.FCC): (24, 12, 1),
     (SlipType.MTSDD, XtalType.BCC): (24, 12, 1),
-    (SlipType.MTSDD, XtalType.HCP): (26, 24, 1),
+    # HCP: c_1, g_0 and s are per-slip-system (24 each) in the reference
+    # parameter layout (scripts/ecmech_prop_file.py documents this), so
+    # nParams = 3 + 5 elastic + (13 + 3*24) kinetics + 2 = 95.
+    (SlipType.MTSDD, XtalType.HCP): (95, 24, 1),
 }
+
+# convenience extension (not in the reference): HCP MTSDD with scalar
+# c_1/g_0/s, for parameter studies that do not resolve slip families
+_HCP_SCALAR_NPROPS = 26
 
 ECMECH_NE = 1  # number of internal-energy history slots (ecmech::ne)
 
@@ -425,7 +432,9 @@ def _validate_model(opt: ExaOptions):
         _abort(f"Model combination {opt.slip_type.value} + "
                f"{opt.xtal_type.value} is not supported.")
     nparams, _, _ = _MODEL_DB[key]
-    if opt.nProps != nparams:
+    ok = opt.nProps == nparams or (key == (SlipType.MTSDD, XtalType.HCP)
+                                   and opt.nProps == _HCP_SCALAR_NPROPS)
+    if not ok:
         _abort(f"Properties.Matl_Props.num_props needs {nparams} values for "
                f"the {opt.slip_type.value} option and {opt.xtal_type.value} "
                "option")

@@ -406,7 +406,8 @@ def build_model(opt: ExaOptions, props: np.ndarray) -> ECMechModel:
     elif opt.slip_type == SlipType.MTSDD:
         kin = kinetics.KMBalD.from_props(
             props, n_elastic=n_elast,
-            g_athermal=(opt.xtal_type == XtalType.BCC))
+            g_athermal=(opt.xtal_type == XtalType.BCC),
+            nslip=24 if opt.xtal_type == XtalType.HCP else 12)
         kin = _apply_mtsdd_calibration(kin, opt.xtal_type)
     else:
         raise ValueError("unsupported slip type")

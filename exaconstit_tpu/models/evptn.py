@@ -284,8 +284,8 @@ def _initial_guess(model: EvptnModel, dt, d_vecd_sm, e_n, q_n, h_n):
     taus = jnp.asarray(model.slip.P, dtype=e_trial.dtype) @ s_trial
     # strength proxy: gdots==0 inversion not needed, use kinetics strength
     kin = model.kinetics
-    if hasattr(kin, "_strength"):
-        g = kin._strength(h_n)[0]
+    if hasattr(kin, "strength_floor"):
+        g = kin.strength_floor(h_n)
     else:
         g = h_n[0]
     ratio_trial = jnp.max(jnp.abs(taus)) / g

@@ -437,8 +437,8 @@ def _initial_guess_cm(model, dt_sub, Dsm, deff, e_c, q_c, h_c):
     taus = const_mm_cm(np.asarray(model.slip.P) @
                        np.asarray(model.elast.C_dev), e_trial)
     kin = model.kinetics
-    if hasattr(kin, "_strength"):
-        g = kin._strength(h_c.T)[..., 0].T  # (N,)
+    if hasattr(kin, "strength_floor"):
+        g = kin.strength_floor(h_c.T)  # (N,)
     else:
         g = h_c[0]
     ratio_trial = jnp.max(jnp.abs(taus), axis=0) / g

@@ -242,9 +242,38 @@ class KMBalD:
     n_h = 1
 
     @classmethod
-    def from_props(cls, props, n_elastic: int = 3, g_athermal: bool = False):
+    def from_props(cls, props, n_elastic: int = 3, g_athermal: bool = False,
+                   nslip: int = 12):
+        """Parse the kinetics block.
+
+        Two layouts (both in the reference's documented parameter order,
+        scripts/ecmech_prop_file.py): scalar (16 kinetics values; FCC and
+        BCC, plus the scalar-HCP convenience extension) and per-slip
+        (13 + 3*nslip values; HCP, where c_1, g_0 and s are given for
+        every slip system)."""
         p = np.asarray(props, dtype=float)
         k = 3 + n_elastic  # rho0, cvav, tol + elastic constants
+        nkin = len(p) - k - 2  # gruneisen + e_ref trail
+        if nkin == 13 + 3 * nslip and nslip > 1:
+            S = nslip
+            i = k
+            mu, tk = p[i], p[i + 1]
+            i += 2
+            c1 = p[i:i + S].copy()
+            i += S
+            tau_a, pp, qq, gw, gr, wrd = p[i:i + 6]
+            i += 6
+            go = p[i:i + S].copy()
+            i += S
+            s = p[i:i + S].copy()
+            i += S
+            k1, k2_0, ninv, gro_dd, rho_init = p[i:i + 5]
+            return cls(mu_ref=float(mu), tk_ref=float(tk), c1=c1,
+                       tau_a=float(tau_a), p=float(pp), q=float(qq),
+                       gam_wo=float(gw), gam_ro=float(gr), wr_d=float(wrd),
+                       go=go, s=s, k1=float(k1), k2_0=float(k2_0),
+                       ninv=float(ninv), gam_ro_dd=float(gro_dd),
+                       rho_dd_init=float(rho_init), g_athermal=g_athermal)
         vals = p[k:k + 16]
         return cls(*[float(v) for v in vals], g_athermal=g_athermal)
 
@@ -252,20 +281,29 @@ class KMBalD:
         return np.array([self.rho_dd_init])
 
     def _strength(self, h):
-        """Slip-system strength from relative dislocation density."""
+        """Slip-system strength from relative dislocation density.
+
+        Scalar go/s -> shape (..., 1) (broadcast over slip systems);
+        per-slip go/s (S,) -> shape (..., S)."""
         rho = jnp.maximum(h[..., 0:1], _TINY)
-        return self.go + self.s * jnp.sqrt(rho)
+        return jnp.asarray(self.go) + jnp.asarray(self.s) * jnp.sqrt(rho)
+
+    def strength_floor(self, h):
+        """Scalar (per-point) lower bound of the slip strengths — used
+        by the implicit solver's initial-guess heuristics."""
+        return jnp.min(self._strength(h), axis=-1)
 
     def operating_ratio(self, deff):
         """|tau|/strength at flow rate deff (thermal branch, p=q~1
         estimate), used only for the implicit solver's initial guess."""
-        c_t = self.c1 * self.mu_ref / 300.0
+        c_t = float(np.mean(self.c1)) * self.mu_ref / 300.0
         x = jnp.clip(
             1.0 + jnp.log(jnp.maximum(deff, 1e-12) / self.gam_wo) / c_t,
             0.05, 1.0)
         if self.g_athermal:
             # flow at |tau| ~ g + x*tau_a; ratio relative to g(h_init)
-            g0 = self.go + self.s * np.sqrt(max(self.rho_dd_init, 1e-30))
+            g0 = np.min(np.asarray(self.go) + np.asarray(self.s)
+                        * np.sqrt(max(self.rho_dd_init, 1e-30)))
             return 1.0 + x * self.tau_a / g0
         return x
 

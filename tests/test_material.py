@@ -224,6 +224,59 @@ def test_state_layout_matches_reference_convention(voce_model):
     assert model.num_state == 28
 
 
+def test_hcp_mtsdd_per_slip_props():
+    """Reference HCP parameter layout: c_1, g_0 and s are per-slip-system
+    (24 values each; scripts/ecmech_prop_file.py documents the ordering),
+    num_props = 95.  Build through the factory, check that slip-family
+    strength differences steer the slip activity (soft basal systems
+    shear more than hard pyramidal ones)."""
+    import dataclasses
+
+    from exaconstit_tpu.config.options import parse_options
+
+    opt = parse_options("/root/reference/test/data/mtsdd_full.toml")
+    opt = dataclasses.replace(opt) if dataclasses.is_dataclass(opt) else opt
+    opt.xtal_type = __import__(
+        "exaconstit_tpu.config.options", fromlist=["XtalType"]).XtalType.HCP
+    S = 24
+    # soft basal+prism (first 6), hard pyramidal
+    go = np.full(S, 12e-3)
+    go[:6] = 4e-3
+    s = np.full(S, 0.12)
+    s[:6] = 0.06
+    c1 = np.full(S, 1.9e3)
+    props = np.concatenate([
+        [8.92e-6, 385.0, 1e-10],            # rho0, cvav, tol
+        [162.4, 92.0, 69.0, 180.7, 46.7],   # hexagonal elastic
+        [46.0, 300.0], c1,
+        [4e-4, 1.0, 1.0, 1.0, 1.0, 3e-2],   # tau_a, p, q, gw, gr, wrD
+        go, s,
+        [3e-4, 5e-5, 0.1, 1e-2, 9e-4],      # k1, k2_0, ninv, gam_o, rho0
+        [0.0, -1.1556e5],
+    ])
+    assert props.shape == (95,)
+    from exaconstit_tpu.models.ecmech import build_model
+    model = build_model(opt, props)
+    assert model.nslip == 24
+    assert np.asarray(model.evptn.kinetics.go).shape == (S,)
+    N = 3
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(N, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    state = jnp.asarray(model.init_state(q))
+    L = jnp.asarray(np.tile(np.diag([-5e-4, -5e-4, 1e-3]), (N, 1, 1)))
+    st = state
+    setup = jax.jit(lambda d, s: model.model_setup(0.2, d, s,
+                                                   compute_tangent=False))
+    for _ in range(10):  # develop plastic flow well past yield
+        stress, st, _ = setup(L, st)
+    assert np.isfinite(np.asarray(stress)).all()
+    stress, st, tang = model.model_setup(0.2, L, st)
+    assert np.isfinite(np.asarray(tang)).all()
+    gd = np.abs(np.asarray(st)[:, model.ind_gdot:model.ind_gdot + S])
+    assert gd[:, :6].sum() > gd[:, 6:].sum()  # soft families dominate
+
+
 def test_hcp_mtsdd_smoke():
     """HCP (24 slip systems) with MTSDD kinetics: finite, plastic, stable."""
     import dataclasses
