@@ -1,0 +1,81 @@
+"""Measured communication volume of the slab halo-exchange path.
+
+The round-1 review asked for the per-matvec communication to be
+*measured*, not argued: this test compiles the slab-partitioned
+Jacobian matvec and reads the collective-permute traffic out of the
+compiled HLO, checking that
+
+  (a) the bytes moved per matvec equal the analytic halo size — two
+      node-planes of 3-vectors per device boundary — and
+  (b) growing the mesh ALONG the slab axis does not grow the traffic
+      (communication is O(surface), not O(volume/nodes)), unlike the
+      replicated-node element-sharded path it replaced.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+_SHAPE_RE = re.compile(
+    r"=\s*([a-z0-9]+)\[([0-9,]*)\][^=\n]*\bcollective-permute\(")
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "u32": 4, "s32": 4, "pred": 1,
+                "bf16": 2, "u8": 1, "s8": 1}
+
+
+def _collective_permute_bytes(hlo_text):
+    """Sum of output bytes over all collective-permute ops in the HLO."""
+    total = 0
+    for m in _SHAPE_RE.finditer(hlo_text):
+        dtype, dims = m.group(1), m.group(2)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES.get(dtype, 8)
+    return total
+
+
+def _slab_problem(nz):
+    from exaconstit_tpu.config.options import (Assembly, ExaOptions,
+                                               KrylovSolver, MechType,
+                                               SlipType, XtalType)
+    from exaconstit_tpu.mesh.voxel import make_cartesian_mesh
+    from exaconstit_tpu.models.ecmech import build_model
+    from exaconstit_tpu.parallel.sharding import make_device_mesh
+    from exaconstit_tpu.parallel.slab_system import SlabMechSystem
+    from __graft_entry__ import _VOCE_PROPS
+
+    opt = ExaOptions()
+    opt.mech_type = MechType.EXACMECH
+    opt.xtal_type = XtalType.FCC
+    opt.slip_type = SlipType.POWERVOCE
+    opt.assembly = Assembly.EA
+    opt.solver = KrylovSolver.PCG
+    mesh = make_cartesian_mesh([2, 2, nz], [1.0, 1.0, 1.0], order=1)
+    model = build_model(opt, _VOCE_PROPS)
+    dmesh = make_device_mesh(8)
+    return SlabMechSystem(opt, mesh, model, dmesh), mesh
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_halo_comm_is_surface_not_volume():
+    measured = {}
+    for nz in (8, 16):
+        slab, mesh = _slab_problem(nz)
+        kd = jnp.zeros((slab.ne_pad, 24, 24), jnp.float64)
+        x0 = jnp.asarray(slab.to_local_nodes(np.zeros((mesh.num_nodes, 3))))
+        lowered = slab._grad_matvec_unconstrained.lower(
+            kd, x0.reshape(-1))
+        hlo = lowered.compile().as_text()
+        measured[nz] = _collective_permute_bytes(hlo)
+
+    # (a) analytic halo: 2 directions x one node-plane (3x3 nodes for the
+    # 2x2 cross-section at order 1) x 3 components x 8 B = 2*9*3*8 = 432 B
+    assert measured[8] == 2 * 9 * 3 * 8
+    # (b) doubling the slab-axis length leaves the halo traffic unchanged
+    assert measured[16] == measured[8]
