@@ -144,8 +144,21 @@ def main():
 
     # production-size Newton-Krylov step: 64^3 elements (2.1M qpts) per
     # the round-1 verdict ask, falling back if the chip cannot hold it
+    # (or if the soft wall-clock budget for the whole bench is running
+    # out — the driver runs this unattended, so a huge compile must not
+    # starve the primary metric of its output line)
+    budget_s = float(os.environ.get("EXACONSTIT_BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
+    sizes = ((64, 64, 64), (48, 48, 48), (32, 32, 32))
+    if jax.default_backend() != "tpu":
+        sizes = ((8, 8, 8),)  # CPU smoke: skip the big compiles
     nk_ncuts = None
-    for ncuts in ((64, 64, 64), (48, 48, 48), (32, 32, 32)):
+    nk_secs, nk_npts, nk_iters = float("nan"), 0, 0
+    for ncuts in sizes:
+        if (time.perf_counter() - t_start > 0.5 * budget_s
+                and ncuts != sizes[-1]):
+            print(f"# skipping {ncuts} (bench budget)", flush=True)
+            continue
         try:
             nk_secs, nk_npts, nk_iters = newton_step_time(ncuts)
             nk_ncuts = ncuts
@@ -172,12 +185,14 @@ def main():
         "value": evals_s,
         "unit": "evals/s",
         "vs_baseline": vs_baseline,
-        "newton_krylov_step_seconds": nk_secs,
-        "newton_step_qpts": nk_npts,
-        "newton_step_iters": nk_iters,
-        "newton_step_qpt_evals_per_s": nk_npts * max(nk_iters, 1) / nk_secs,
-        "newton_step_mesh": list(nk_ncuts) if nk_ncuts else None,
     }
+    if nk_ncuts is not None:  # keep the JSON line strictly parseable
+        out["newton_krylov_step_seconds"] = nk_secs
+        out["newton_step_qpts"] = nk_npts
+        out["newton_step_iters"] = nk_iters
+        out["newton_step_qpt_evals_per_s"] = \
+            nk_npts * max(nk_iters, 1) / nk_secs
+        out["newton_step_mesh"] = list(nk_ncuts)
     if pallas_evals_s:
         out["pallas_evals_per_s"] = pallas_evals_s
         out["xla_evals_per_s"] = xla_evals_s
