@@ -341,7 +341,12 @@ _MTSDD_CALIBRATION = {
     # elastic-plastic transition (scripts/fit_mtsdd4.py, FEM
     # offset-corrected fit, rms 2.4e-3 on the Taylor surrogate).
     (3.0e-4, 5e-5): {
-        XtalType.FCC: (0.0647, 444.21, -1.38892, 1.54133),
+        # 6-param space-mapping best (scripts/fit_mtsdd5.py, fresh-FEM
+        # offsets with trust-boxed LM + best-point backtracking):
+        # measured on the real FEM regression case over all 40 golden
+        # steps (scripts/mtsdd_fem_curve.py, 2026-08-18).
+        XtalType.FCC: (0.0563194, 353.85, -1.53077, 1.50764,
+                       0.963243, 0.502862),
         XtalType.BCC: (64.331, 702.32, 0.0, 1.0),
     },
 }
