@@ -303,8 +303,13 @@ class MechSystem:
         self._compute_nsub_raw = compute_nsub
 
         def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords,
-                     nsub):
-            """Residual + gradient data + diagonal at velocity iterate v."""
+                     nsub, x_warm, warm_ok):
+            """Residual + gradient data + diagonal at velocity iterate v.
+
+            ``x_warm``/``warm_ok`` (material-solve warm start) are
+            accepted for interface uniformity with setup_fn_cm; the
+            point-major path (UMAT / experimental knobs) ignores them
+            and passes the candidate through unchanged."""
             x_end = x_beg + dt * v if advance_coords else x_beg
             el_x = gather(x_end)
             el_v = gather(v)
@@ -345,10 +350,11 @@ class MechSystem:
             k_data = constrain_e(k_data)
             diag = scatter_add(dloc).reshape(-1)
             diag = jnp.where(ess_mask.reshape(-1), 1.0, diag)
-            return r, k_data, diag, stress_q, state_end.reshape(ne, nq, -1)
+            return (r, k_data, diag, stress_q,
+                    state_end.reshape(ne, nq, -1), x_warm)
 
         def setup_fn_cm(v, x_beg, state_beg, dt, ess_mask, advance_coords,
-                        nsub):
+                        nsub, x_warm, warm_ok):
             """Component-major setup: identical math to setup_fn with all
             element/point arrays batch-minor (no TPU tile padding)."""
             from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
@@ -363,8 +369,9 @@ class MechSystem:
             nq, ne = L.shape[2], L.shape[3]
             nsv = state_beg.shape[2]
             state_cm = state_beg.transpose(2, 1, 0).reshape(nsv, nq * ne)
-            stress, state_end, c6 = model.model_setup_cm(
-                dt, L.reshape(3, 3, nq * ne), state_cm, nsub=nsub)
+            stress, state_end, c6, x_sol = model.model_setup_cm(
+                dt, L.reshape(3, 3, nq * ne), state_cm, nsub=nsub,
+                x_warm=x_warm, warm_ok=warm_ok, with_solution=True)
             stress_q = constrain_cm(stress.reshape(6, nq, ne))
             c6_q = constrain_cm(c6.reshape(6, 6, nq, ne))
             force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
@@ -380,14 +387,24 @@ class MechSystem:
             diag = jnp.where(ess_mask.reshape(-1), 1.0, diag)
             stress_pm = stress_q.transpose(2, 1, 0)  # (ne, nq, 6)
             state_pm = state_end.reshape(nsv, nq, ne).transpose(2, 1, 0)
-            return r, k_cm, diag, stress_pm, state_pm
+            return r, k_cm, diag, stress_pm, state_pm, x_sol
 
         # checked_jit == jax.jit unless EXACONSTIT_CHECK_NUMERICS=1, which
         # threads checkify NaN checks through the whole fused setup
         self._setup = checked_jit(setup_fn_cm if self.use_cm else setup_fn,
                                   static_argnums=(5,))
+        # warm-start carry: this system's setups take (x_warm, warm_ok)
+        # and return the converged material-solve vector for the next
+        # outer iteration (the slab system keeps the plain interface).
+        # warm_start toggles USE of the carry (EXACONSTIT_WARM_START=0
+        # reverts to cold starts without recompiling a second program).
+        self._warm_arity = True
+        self._warm_npts = self.ne_pad * self.fes.nqpts
+        self.warm_start = os.environ.get("EXACONSTIT_WARM_START",
+                                         "1") != "0"
 
-        def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub):
+        def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub,
+                          x_warm, warm_ok):
             x_end = x_beg + dt * v
             el_x = gather(x_end)
             el_v = gather(v)
@@ -409,7 +426,8 @@ class MechSystem:
             r = scatter_add(force).reshape(-1)
             return jnp.where(ess_mask.reshape(-1), 0.0, r)
 
-        def residual_only_cm(v, x_beg, state_beg, dt, ess_mask, nsub):
+        def residual_only_cm(v, x_beg, state_beg, dt, ess_mask, nsub,
+                             x_warm, warm_ok):
             from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
                                        grad_calc_cm, jacobians_cm)
             x_end = x_beg + dt * v
@@ -424,7 +442,8 @@ class MechSystem:
             state_cm = state_beg.transpose(2, 1, 0).reshape(nsv, nq * ne)
             stress, _, _ = model.model_setup_cm(
                 dt, L.reshape(3, 3, nq * ne), state_cm,
-                compute_tangent=False, nsub=nsub)
+                compute_tangent=False, nsub=nsub, x_warm=x_warm,
+                warm_ok=warm_ok)
             stress_q = constrain_cm(stress.reshape(6, nq, ne))
             force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
                                           stress_q)
@@ -559,18 +578,39 @@ class MechSystem:
         production driver uses the host-orchestrated adaptive Newton.
         """
 
+        warm = getattr(self, "_warm_arity", False)
+
         def step(v, x_beg, state, dt, ess_flat):
             nsub = self._compute_nsub_raw(v, x_beg, dt)
 
-            def newton_body(_, v):
-                r, kd, dg, _, _ = self._setup_raw(v, x_beg, state, dt,
-                                                  ess_flat, True, nsub)
-                c, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
-                return v - c.reshape(-1, 3)
+            if warm:
+                xw0 = jnp.zeros((8, self._warm_npts), state.dtype)
+                ok0 = jnp.asarray(False)
 
-            v = jax.lax.fori_loop(0, newton_iters, newton_body, v)
-            r, kd, dg, stress, state_end = self._setup_raw(
-                v, x_beg, state, dt, ess_flat, True, nsub)
+                use_warm = getattr(self, "warm_start", True)
+
+                def newton_body(_, carry):
+                    v, xw, ok = carry
+                    r, kd, dg, _, _, xs = self._setup_raw(
+                        v, x_beg, state, dt, ess_flat, True, nsub, xw, ok)
+                    c, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
+                    return (v - c.reshape(-1, 3), xs,
+                            jnp.asarray(use_warm))
+
+                v, xw, ok = jax.lax.fori_loop(0, newton_iters, newton_body,
+                                              (v, xw0, ok0))
+                r, kd, dg, stress, state_end, _ = self._setup_raw(
+                    v, x_beg, state, dt, ess_flat, True, nsub, xw, ok)
+            else:
+                def newton_body(_, v):
+                    r, kd, dg, _, _ = self._setup_raw(v, x_beg, state, dt,
+                                                      ess_flat, True, nsub)
+                    c, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
+                    return v - c.reshape(-1, 3)
+
+                v = jax.lax.fori_loop(0, newton_iters, newton_body, v)
+                r, kd, dg, stress, state_end = self._setup_raw(
+                    v, x_beg, state, dt, ess_flat, True, nsub)
             x_cur = x_beg + dt * v
             return v, x_cur, stress, state_end, self._norm_raw(r)
 
@@ -593,9 +633,36 @@ class MechSystem:
         ess_flat = jnp.asarray(ess_mask.reshape(-1))
         # substep counts frozen at step entry (smooth residual over NR)
         nsub = self._compute_nsub(v, x_beg, dt)
-        r, k_data, diag, stress, state_end = self._timed(
-            "operator_setup", self._setup, v, x_beg, state, dt, ess_flat,
-            True, nsub)
+        warm = getattr(self, "_warm_arity", False)
+        if warm:
+            # material-solve warm start: carry the converged per-point
+            # solution vector between outer iterations (cold on entry)
+            xw = jnp.zeros((8, self._warm_npts), state.dtype)
+            ok = jnp.asarray(False)
+
+            def _do_setup(v_it):
+                out = self._timed("operator_setup", self._setup, v_it,
+                                  x_beg, state, dt, ess_flat, True, nsub,
+                                  xw, ok)
+                return out
+
+            def _do_resid(v_it):
+                return self._timed("line_search", self._residual_only,
+                                   v_it, x_beg, state, dt, ess_flat, nsub,
+                                   xw, ok)
+        else:
+            def _do_setup(v_it):
+                return self._timed("operator_setup", self._setup, v_it,
+                                   x_beg, state, dt, ess_flat, True, nsub)
+
+            def _do_resid(v_it):
+                return self._timed("line_search", self._residual_only,
+                                   v_it, x_beg, state, dt, ess_flat, nsub)
+
+        out = _do_setup(v)
+        r, k_data, diag, stress, state_end = out[:5]
+        if warm and self.warm_start:
+            xw, ok = out[5], jnp.asarray(True)
         norm = float(self._norm(r))
         norm0 = norm
         norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
@@ -619,12 +686,9 @@ class MechSystem:
             q1 = norm
 
             def quad_ls():
-                r3 = self._timed("line_search", self._residual_only,
-                                 v - c, x_beg, state, dt, ess_flat, nsub)
+                r3 = _do_resid(v - c)
                 q3 = float(self._norm(r3))
-                r2 = self._timed("line_search", self._residual_only,
-                                 v - 0.5 * c, x_beg, state, dt, ess_flat,
-                                 nsub)
+                r2 = _do_resid(v - 0.5 * c)
                 q2 = float(self._norm(r2))
                 denom = q1 - 2.0 * q2 + q3
                 eps = (3.0 * q1 - 4.0 * q2 + q3) / (4.0 * denom) \
@@ -638,23 +702,21 @@ class MechSystem:
             if always_ls:
                 scale = quad_ls()
                 v_new = v - scale * c
-                out = self._timed("operator_setup", self._setup, v_new,
-                                  x_beg, state, dt, ess_flat, True, nsub)
+                out = _do_setup(v_new)
             else:
                 v_new = v - c
-                out = self._timed("operator_setup", self._setup, v_new,
-                                  x_beg, state, dt, ess_flat, True, nsub)
+                out = _do_setup(v_new)
                 q_full = float(self._norm(out[0]))
                 if not np.isfinite(q_full) or q_full > 0.5 * q1:
                     scale = quad_ls()
                     if scale != 1.0:
                         v_new = v - scale * c
-                        out = self._timed("operator_setup", self._setup,
-                                          v_new, x_beg, state, dt, ess_flat,
-                                          True, nsub)
+                        out = _do_setup(v_new)
 
             v = v_new
-            r, k_data, diag, stress, state_end = out
+            r, k_data, diag, stress, state_end = out[:5]
+            if warm and self.warm_start:
+                xw, ok = out[5], jnp.asarray(True)
             norm = float(self._norm(r))
             it += 1
 
@@ -668,8 +730,14 @@ class MechSystem:
         # with geometry NOT advanced (Setup<false>,
         # mechanics_operator.cpp:446-483)
         nsub = self._compute_nsub(v_prev, x_beg, dt)
-        r, k_data, diag, _, _ = self._setup(v_prev, x_beg, state, dt,
-                                            ess_flat, False, nsub)
+        if getattr(self, "_warm_arity", False):
+            r, k_data, diag = self._setup(
+                v_prev, x_beg, state, dt, ess_flat, False, nsub,
+                jnp.zeros((8, self._warm_npts), state.dtype),
+                jnp.asarray(False))[:3]
+        else:
+            r, k_data, diag, _, _ = self._setup(v_prev, x_beg, state, dt,
+                                                ess_flat, False, nsub)
         y = self._grad_matvec_unconstrained(k_data, delta)
         y = jnp.where(ess_flat, 0.0, y) + r
         c, kit, kdone = self._krylov(k_data, diag, y, ess_flat)

@@ -217,7 +217,8 @@ class ECMechModel:
                 and ev.rot_frame == "end" and ev.h_order == "after")
 
     def model_setup_cm(self, dt, vgrad_cm, state_beg_cm,
-                       compute_tangent=True, nsub=None):
+                       compute_tangent=True, nsub=None, x_warm=None,
+                       warm_ok=None, with_solution=False):
         """Component-major constitutive update (TPU hot path).
 
         Same contract as model_setup with every array component-major:
@@ -225,6 +226,12 @@ class ECMechModel:
         (stress_cm (6, N), state_end_cm (num_state, N),
         tangent_cm (6, 6, N) or None).  Requires the staggered "cm"
         engine configuration (the production scheme).
+
+        ``x_warm``/``warm_ok`` warm-start the per-point implicit solve
+        from a previous outer-iteration solution (see
+        evptn_cm.solve_staggered_cm_core); ``with_solution=True``
+        additionally returns the converged solution vector (8, N) so
+        the FEM driver can carry it across Newton iterations.
         """
         from . import evptn_cm
 
@@ -258,7 +265,8 @@ class ECMechModel:
                                 (d_vecd.shape[1],))
 
         x, h_end, h_used, iters, ok = evptn_cm.solve_staggered_cm_core(
-            ev, dt, d_vecd, w_vec, e_n, q_n, h_n, self.temp_k, nsub)
+            ev, dt, d_vecd, w_vec, e_n, q_n, h_n, self.temp_k, nsub,
+            x_warm=x_warm, warm_ok=warm_ok)
         out = evptn_cm.outputs_from_solution_cm(
             ev, dt, d_vecd, w_vec, v0, v1, e_int, e_n, q_n, h_n,
             self.temp_k, x, h_end, h_used, iters, ok, compute_tangent)
@@ -288,6 +296,8 @@ class ECMechModel:
             ],
             axis=0,
         )
+        if with_solution:
+            return stress, state_end, out.get("tangent"), x
         return stress, state_end, out.get("tangent")
 
     def dp_mat(self, state):

@@ -462,11 +462,24 @@ def solve_staggered_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
 
 
 def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
-                            nsub):
+                            nsub, x_warm=None, warm_ok=None):
     """Batched staggered solve, component-major io (c, N) arrays.
 
     Returns (x (8, N), h_end (nh, N), h_used (nh, N), iters (N,),
     conv (N,)).
+
+    ``x_warm`` (8, N), when given, is a warm-start candidate for the
+    per-substep dogleg — the previous outer (FEM Newton) iteration's
+    converged solution at the same material state (the reference's SNLS
+    solves restart cold every call; on TPU the batched ``while_loop``
+    runs until the SLOWEST lane converges, so cutting iterations for
+    the already-converged majority is a direct wall-clock win).  The
+    candidate is safeguarded per point: both starts' residual norms are
+    evaluated and the smaller wins, so a stale candidate (large dt
+    substeps, first iterations after a BC change, NaN lanes) can never
+    do worse than the scaled-elastic-trial default.  ``warm_ok`` is a
+    traced bool scalar gating the whole comparison (False on the first
+    Newton iteration) so one compiled program serves both phases.
     """
     N = d_cm.shape[1]
     dtype = d_cm.dtype
@@ -482,6 +495,27 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
     def one_substep(e_c, q_c, h_c, active):
         e_guess = _initial_guess_cm(model, dt_sub, Dsm, deff, e_c, q_c, h_c)
         x0 = jnp.concatenate([e_guess, jnp.zeros((3, N), dtype)], axis=0)
+        if x_warm is not None:
+            # per-substep candidate: final elastic strain + the total
+            # rotation increment split evenly over the substeps
+            xw = jnp.concatenate(
+                [x_warm[:5], x_warm[5:] / nsub.astype(dtype)[None]],
+                axis=0).astype(dtype)
+
+            def pick_better(x_def):
+                r_d = residual_cm(model, x_def, h_c, dt_sub, Dsm, w_cm,
+                                  e_c, q_c, temp_k)
+                r_w = residual_cm(model, xw, h_c, dt_sub, Dsm, w_cm,
+                                  e_c, q_c, temp_k)
+                n_d = jnp.sum(r_d * r_d, axis=0)
+                n_w = jnp.sum(r_w * r_w, axis=0)
+                better = n_w < n_d  # False on NaN lanes -> default start
+                return jnp.where(better[None], xw, x_def)
+
+            if warm_ok is None:
+                x0 = pick_better(x0)
+            else:
+                x0 = jax.lax.cond(warm_ok, pick_better, lambda a: a, x0)
 
         def solve_exi(h):
             if use_mixed:

@@ -295,15 +295,20 @@ class KMBalD:
 
     def operating_ratio(self, deff):
         """|tau|/strength at flow rate deff (thermal branch, p=q~1
-        estimate), used only for the implicit solver's initial guess."""
-        c_t = float(np.mean(self.c1)) * self.mu_ref / 300.0
+        estimate), used only for the implicit solver's initial guess.
+
+        jnp throughout: the calibration fitters trace c1/s/go through
+        this (theta carries flow-strength scale factors), so host-side
+        float()/np reductions would raise ConcretizationTypeError."""
+        c_t = jnp.mean(jnp.asarray(self.c1)) * self.mu_ref / 300.0
         x = jnp.clip(
             1.0 + jnp.log(jnp.maximum(deff, 1e-12) / self.gam_wo) / c_t,
             0.05, 1.0)
         if self.g_athermal:
             # flow at |tau| ~ g + x*tau_a; ratio relative to g(h_init)
-            g0 = np.min(np.asarray(self.go) + np.asarray(self.s)
-                        * np.sqrt(max(self.rho_dd_init, 1e-30)))
+            g0 = jnp.min(jnp.asarray(self.go) + jnp.asarray(self.s)
+                         * jnp.sqrt(jnp.maximum(
+                             jnp.asarray(self.rho_dd_init), 1e-30)))
             return 1.0 + x * self.tau_a / g0
         return x
 

@@ -1,0 +1,58 @@
+"""Probe BCC MTSDD seed candidates on the Taylor surrogate (no FEM).
+
+Evaluates several 6-parameter calibration candidates for the BCC branch
+against the golden curve (surrogate only, with relaxed lateral betas) to
+pick the starting basin for the space-mapping fit (fit_mtsdd5.py).
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ["EXACONSTIT_MTSDD_CAL"] = "file"
+
+import jax.numpy as jnp  # noqa: E402
+
+from fit_mtsdd3 import (base_model, beta_sensitivity, golden,  # noqa: E402
+                        load_aggregate, make_curve, relax_betas)
+
+DATA = "/root/reference/test/data"
+
+
+def main():
+    quats, w = load_aggregate()
+    gold = golden("bcc")
+    dts = np.loadtxt(os.path.join(DATA, "custom_dt.txt"))[:len(gold)]
+    m0 = base_model("bcc")
+    curve = make_curve(m0, quats, w, dts)
+    scale = gold.max()
+
+    # theta = [ln k1, ln k2, a, b, ln s_scale, ln c1_scale]
+    cands = {
+        "committed-4p": (64.331, 702.32, 0.0, 1.0, 1.0, 1.0),
+        # FCC-best shape transplanted to the BCC scale: match early
+        # production K1*rho0^a to the committed row's K1 (rho0=9e-4)
+        # and keep saturation rho_s ~ (K1/K2)^(1/(b-a)) ~ 0.09
+        "fcc-shape-scaled": (64.331 * 9e-4 ** 1.53, 2.4, -1.53, 1.50,
+                             1.0, 1.0),
+        "fcc-shape-cs": (64.331 * 9e-4 ** 1.53, 2.4, -1.53, 1.50,
+                         0.963, 0.503),
+        "fcc-row-direct": (0.0563194, 353.85, -1.53077, 1.50764,
+                           0.963243, 0.502862),
+    }
+    betas0 = jnp.full(len(gold), 0.45)
+    for name, (k1, k2, a, b, ss, cs) in cands.items():
+        th = jnp.asarray([np.log(k1), np.log(k2), a, b, np.log(ss),
+                          np.log(cs)])
+        sens = beta_sensitivity(curve, th, betas0)
+        betas = relax_betas(curve, th, betas0, sens, sweeps=4)
+        szz = np.asarray(curve(th, betas)[0])
+        err = np.abs(szz - gold) / scale
+        print(f"{name:18s} max={err.max():.4e} rms="
+              f"{np.sqrt((err ** 2).mean()):.4e} "
+              f"knee(2:8)={err[1:8].max():.4e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

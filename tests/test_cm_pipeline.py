@@ -111,8 +111,13 @@ def test_setup_matches(sims):
     dt = 0.1
     nsub_p = sp._compute_nsub(v, x, dt)
     nsub_c = sc._compute_nsub(v, x, dt)
-    rp, kp, dp_, stp, sep = sp._setup(v, x, state, dt, ess, True, nsub_p)
-    rc, kc, dc, stc, sec = sc._setup(v, x, state, dt, ess, True, nsub_c)
+    xw_p = jnp.zeros((8, sp._warm_npts), state.dtype)
+    xw_c = jnp.zeros((8, sc._warm_npts), state.dtype)
+    cold = jnp.asarray(False)
+    rp, kp, dp_, stp, sep = sp._setup(v, x, state, dt, ess, True, nsub_p,
+                                      xw_p, cold)[:5]
+    rc, kc, dc, stc, sec = sc._setup(v, x, state, dt, ess, True, nsub_c,
+                                     xw_c, cold)[:5]
     np.testing.assert_allclose(np.asarray(rc), np.asarray(rp), rtol=2e-11,
                                atol=1e-13)
     np.testing.assert_allclose(np.asarray(dc), np.asarray(dp_), rtol=2e-11,
@@ -133,7 +138,12 @@ def test_newton_step_matches(sims):
         sim.nsteps = 1
     pm.run(verbose=False)
     cm.run(verbose=False)
-    np.testing.assert_allclose(np.asarray(cm.state), np.asarray(pm.state),
-                               rtol=1e-7, atol=1e-9)
+    # state column 3 is the NFEVAL diagnostic (dogleg iteration count);
+    # the CM path warm-starts the point solve across Newton iterations,
+    # so its counts legitimately differ from the cold PM path
+    st_c, st_p = np.asarray(cm.state).copy(), np.asarray(pm.state).copy()
+    st_c[:, :, 3] = 0.0
+    st_p[:, :, 3] = 0.0
+    np.testing.assert_allclose(st_c, st_p, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(cm.stress), np.asarray(pm.stress),
                                rtol=1e-7, atol=1e-9)
