@@ -559,6 +559,10 @@ class MechSystem:
         self._norm_raw = norm_fn
         self._norm = jax.jit(norm_fn)
 
+    def _warm_zeros(self, dtype):
+        """Cold warm-start carry (component-major solution layout)."""
+        return jnp.zeros((8, self._warm_npts), dtype)
+
     def _timed(self, name, fn, *args):
         """Run fn; when region accounting is on, block + record wall time
         (the analog of the reference's CALI_MARK_BEGIN/END pairs around
@@ -584,7 +588,7 @@ class MechSystem:
             nsub = self._compute_nsub_raw(v, x_beg, dt)
 
             if warm:
-                xw0 = jnp.zeros((8, self._warm_npts), state.dtype)
+                xw0 = self._warm_zeros(state.dtype)
                 ok0 = jnp.asarray(False)
 
                 use_warm = getattr(self, "warm_start", True)
@@ -637,7 +641,7 @@ class MechSystem:
         if warm:
             # material-solve warm start: carry the converged per-point
             # solution vector between outer iterations (cold on entry)
-            xw = jnp.zeros((8, self._warm_npts), state.dtype)
+            xw = self._warm_zeros(state.dtype)
             ok = jnp.asarray(False)
 
             def _do_setup(v_it):
@@ -733,8 +737,7 @@ class MechSystem:
         if getattr(self, "_warm_arity", False):
             r, k_data, diag = self._setup(
                 v_prev, x_beg, state, dt, ess_flat, False, nsub,
-                jnp.zeros((8, self._warm_npts), state.dtype),
-                jnp.asarray(False))[:3]
+                self._warm_zeros(state.dtype), jnp.asarray(False))[:3]
         else:
             r, k_data, diag, _, _ = self._setup(v_prev, x_beg, state, dt,
                                                 ess_flat, False, nsub)

@@ -138,7 +138,8 @@ class ECMechModel:
 
     # -- the model evaluation ----------------------------------------------
     def model_setup(self, dt, vgrad, state_beg, compute_tangent=True,
-                    nsub=None):
+                    nsub=None, x_warm=None, warm_ok=None,
+                    with_solution=False):
         """Constitutive update for a flat batch of points.
 
         vgrad: (npts, 3, 3) velocity gradient L_ij = dv_i/dx_j
@@ -148,6 +149,9 @@ class ECMechModel:
             entry velocity (see MechSystem) so the residual stays smooth
             over the Newton iterations; standalone callers may omit it
             and the deff-capped counts are derived from ``vgrad``.
+        x_warm/warm_ok: optional (npts, 8) warm start for the implicit
+            solve (production cm engine); with_solution=True appends
+            the converged (npts, 8) solution vector to the return.
         Returns (stress_svec (npts, 6), state_end, tangent (npts, 6, 6)).
         """
         d = 0.5 * (vgrad + jnp.swapaxes(vgrad, -1, -2))
@@ -174,7 +178,8 @@ class ECMechModel:
 
         out = batched_update(self.evptn, dt, d_vecd, w_vec, v0, v1, e_int,
                              e_n, q_n, h_n, self.temp_k,
-                             compute_tangent=compute_tangent, nsub=nsub)
+                             compute_tangent=compute_tangent, nsub=nsub,
+                             x_warm=x_warm, warm_ok=warm_ok)
 
         # stress: sample-frame Cauchy deviator + mean
         s_dev = tn.vecd_to_svec(out["s_vecd_sm"])
@@ -205,6 +210,13 @@ class ECMechModel:
             axis=1,
         )
         tangent = out.get("tangent")
+        if with_solution:
+            if "x_sol" not in out:
+                raise ValueError(
+                    "with_solution requires the production cm engine "
+                    "(the experimental vmap engine does not expose the "
+                    "solution vector)")
+            return stress, state_end, tangent, out["x_sol"]
         return stress, state_end, tangent
 
     @property
@@ -353,8 +365,10 @@ _MTSDD_CALIBRATION = {
     (3.0e-4, 5e-5): {
         # 6-param space-mapping best (scripts/fit_mtsdd5.py, fresh-FEM
         # offsets with trust-boxed LM + best-point backtracking):
-        # measured on the real FEM regression case over all 40 golden
-        # steps (scripts/mtsdd_fem_curve.py, 2026-08-18).
+        # measured on the real FEM regression case over golden steps
+        # 1-29 (scripts/mtsdd_fem_curve.py, 2026-08-18): peak max-rel
+        # 1.74e-2 at the hardening knee (step 20), declining
+        # monotonically through the dt ramp (8.1e-3 by step 29, dt=0.4).
         XtalType.FCC: (0.0563194, 353.85, -1.53077, 1.50764,
                        0.963243, 0.502862),
         XtalType.BCC: (64.331, 702.32, 0.0, 1.0),

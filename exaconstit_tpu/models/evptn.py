@@ -617,10 +617,14 @@ def _consistent_tangent(model, x_sol, h_sol, h_n, dt, d_vecd_sm, w_vec_sm,
 
 def batched_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1,
                    e_int_n, e_n, q_n, h_n, temp_k, compute_tangent=True,
-                   nsub=None):
+                   nsub=None, x_warm=None, warm_ok=None):
     """vmap of point_update over a flat batch of points.
 
     nsub: optional per-point substep counts (int32 array); None -> 1.
+    x_warm/warm_ok: optional point-major (N, 8) warm-start candidate
+    for the implicit solve (production cm engine only; the experimental
+    vmap engine ignores it) — see evptn_cm.solve_staggered_cm_core.
+    The converged solution rides back as ``out["x_sol"]``.
     """
     if nsub is None:
         nsub = 1
@@ -637,7 +641,8 @@ def batched_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1,
     if cm_ok:
         from . import evptn_cm
         x, h_end, h_used, iters, ok = evptn_cm.solve_staggered_cm(
-            model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, temp_k, nsub)
+            model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, temp_k, nsub,
+            x_warm=x_warm, warm_ok=warm_ok)
         out_fn = partial(_outputs_from_solution, model,
                          compute_tangent=False)
         out = jax.vmap(
@@ -649,6 +654,7 @@ def batched_update(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, v0, v1,
             out["tangent"] = evptn_cm.tangent_cm(
                 model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n, x, h_end,
                 v1, temp_k, h_used=h_used)
+        out["x_sol"] = x
         return out
     fn = partial(point_update, model, compute_tangent=compute_tangent)
     return jax.vmap(

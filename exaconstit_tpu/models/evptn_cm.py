@@ -448,7 +448,7 @@ def _initial_guess_cm(model, dt_sub, Dsm, deff, e_c, q_c, h_c):
 
 
 def solve_staggered_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
-                       temp_k, nsub):
+                       temp_k, nsub, x_warm=None, warm_ok=None):
     """Batched staggered solve; inputs point-major (N, c) as in
     evptn.batched_update, outputs point-major.
 
@@ -457,7 +457,8 @@ def solve_staggered_cm(model, dt, d_vecd_sm, w_vec_sm, e_n, q_n, h_n,
     """
     x, h, h_used, its, conv = solve_staggered_cm_core(
         model, dt, d_vecd_sm.T, w_vec_sm.T, e_n.T, q_n.T, h_n.T, temp_k,
-        nsub)
+        nsub, x_warm=None if x_warm is None else x_warm.T,
+        warm_ok=warm_ok)
     return x.T, h.T, h_used.T, its, conv
 
 

@@ -156,17 +156,19 @@ class SlabMechSystem(MechSystem):
 
         # ---- setup: residual + gradient data + diagonal ---------------------
         def setup_k(v, x_beg, state_beg, ess_flat, nsub, emask, conn_l,
-                    su, rd, sd, ru, args):
-            dt, advance = args
+                    su, rd, sd, ru, x_warm, args):
+            dt, advance, warm_ok = args
             x_end = x_beg + dt * v * advance
             el_x = x_end[conn_l]
             el_v = v[conn_l]
             J = jacobians(el_x, dshape)
             vgrad = grad_calc(el_v, dshape, J)
             ne, nq = vgrad.shape[0], vgrad.shape[1]
-            stress, state_end, c6 = model_.model_setup(
+            stress, state_end, c6, x_sol = model_.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
-                state_beg.reshape(ne * nq, -1), nsub=nsub)
+                state_beg.reshape(ne * nq, -1), nsub=nsub,
+                x_warm=x_warm.reshape(ne * nq, 8), warm_ok=warm_ok,
+                with_solution=True)
             stress_q = stress.reshape(ne, nq, 6)
             c6_q = c6.reshape(ne, nq, 6, 6)
             if bbar:
@@ -197,28 +199,42 @@ class SlabMechSystem(MechSystem):
             # trash rows: unit diagonal so the Jacobi preconditioner stays
             # finite (their residual/dot contributions are already zero)
             diag = diag.reshape(nl1, 3).at[trash].set(1.0).reshape(-1)
-            return r, k_data, diag, stress_q, state_end.reshape(ne, nq, -1)
+            return (r, k_data, diag, stress_q,
+                    state_end.reshape(ne, nq, -1),
+                    x_sol.reshape(ne, nq, 8))
 
         setup_sm = partial(
             shard_map, mesh=mesh_dev, check_vma=False,
-            in_specs=(specs_n,) * 11 + (P(),),
-            out_specs=(specs_n,) * 5)(setup_k)
+            in_specs=(specs_n,) * 12 + (P(),),
+            out_specs=(specs_n,) * 6)(setup_k)
 
         def setup_fn(v, x_beg, state_beg, dt, ess_mask, advance_coords,
-                     nsub):
+                     nsub, x_warm, warm_ok):
             return setup_sm(v, x_beg, state_beg,
                             ess_mask.reshape(self.nn_loc_tot, 3),
                             nsub, self.elem_mask, self._conn_l,
                             self._send_up, self._recv_dn, self._send_dn,
-                            self._recv_up,
-                            (dt, 1.0 if advance_coords else 0.0))
+                            self._recv_up, x_warm,
+                            (dt, 1.0 if advance_coords else 0.0, warm_ok))
 
         self._setup_raw = setup_fn
         self._setup = jax.jit(setup_fn, static_argnums=(5,))
+        # warm-start carry (see MechSystem): slab carries the solution
+        # point-major per element block, sharded like the state
+        self._warm_arity = True
+        self.warm_start = os.environ.get("EXACONSTIT_WARM_START",
+                                         "1") != "0"
+
+        def warm_zeros(dtype):
+            return jax.device_put(
+                jnp.zeros((self.ne_pad, ref.nqpts, 8), dtype), shard)
+
+        self._warm_zeros = warm_zeros
 
         # ---- residual only --------------------------------------------------
         def residual_k(v, x_beg, state_beg, ess_flat, nsub, emask, conn_l,
-                       su, rd, sd, ru, dt):
+                       su, rd, sd, ru, x_warm, args):
+            dt, warm_ok = args
             x_end = x_beg + dt * v
             el_x = x_end[conn_l]
             el_v = v[conn_l]
@@ -228,7 +244,8 @@ class SlabMechSystem(MechSystem):
             stress, _, _ = model_.model_setup(
                 dt, vgrad.reshape(ne * nq, 3, 3),
                 state_beg.reshape(ne * nq, -1), compute_tangent=False,
-                nsub=nsub)
+                nsub=nsub, x_warm=x_warm.reshape(ne * nq, 8),
+                warm_ok=warm_ok)
             stress_q = stress.reshape(ne, nq, 6)
             if bbar:
                 force = ops.residual_force_bbar(el_x, dshape, qwts, stress_q)
@@ -238,14 +255,15 @@ class SlabMechSystem(MechSystem):
             r = scatter_halo_k(force, conn_l, su, rd, sd, ru).reshape(-1)
             return jnp.where(ess_flat.reshape(-1), 0.0, r)
 
-        residual_sm = smap(residual_k, 11, out_specs=specs_n)
+        residual_sm = smap(residual_k, 12, out_specs=specs_n)
 
-        def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub):
+        def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub,
+                          x_warm, warm_ok):
             return residual_sm(v, x_beg, state_beg,
                                ess_mask.reshape(self.nn_loc_tot, 3), nsub,
                                self.elem_mask, self._conn_l, self._send_up,
                                self._recv_dn, self._send_dn, self._recv_up,
-                               dt)
+                               x_warm, (dt, warm_ok))
 
         self._residual_only = jax.jit(residual_only)
 
