@@ -21,9 +21,33 @@ Prints ONE JSON line; extra metrics ride as additional keys.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+# The axon TPU tunnel is single-client and sometimes down for hours; a
+# dead tunnel makes the first backend touch hang indefinitely, which
+# would leave the unattended round-end bench with NO output line at
+# all.  Probe the ambient backend in a hard-timeout subprocess first
+# and re-exec on CPU if it does not come up.
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("EXACONSTIT_BENCH_PROBED") != "1"):
+    os.environ["EXACONSTIT_BENCH_PROBED"] = "1"
+    try:
+        ok = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env=dict(os.environ), timeout=240,
+            capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("# TPU tunnel probe failed; re-exec on CPU", flush=True)
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        os.execvpe(sys.executable, [sys.executable] + sys.argv, env)
 
 import jax
 
@@ -185,6 +209,7 @@ def main():
         "value": evals_s,
         "unit": "evals/s",
         "vs_baseline": vs_baseline,
+        "backend": jax.default_backend(),
     }
     if nk_ncuts is not None:  # keep the JSON line strictly parseable
         out["newton_krylov_step_seconds"] = nk_secs
