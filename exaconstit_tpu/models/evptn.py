@@ -119,6 +119,18 @@ class EvptnModel:
     #   "gd_begin"  -> gdots at the substep's BEGIN state (the stored rates)
     #   "h_forward" -> converged gdots, explicit (forward-Euler) h update
     h_gd_source: str = "converged"
+    # continuous blend between the begin-of-substep and converged slip
+    # rates feeding the per-substep hardness update:
+    #   gd_eff = blend*gd_converged + (1-blend)*gd_begin
+    # 1.0 is the pure lagged (converged-rate) map.  Values near 1 tune
+    # the per-substep truncation constant C of the staggered map
+    # continuously WITHOUT moving its fine-substep limit (the blend
+    # collapses as dt_sub -> 0), which is exactly the dial needed to
+    # identify ExaCMech's closed-source per-substep map: the remaining
+    # voce_full golden gap is a 0.6% difference in C (err(n) = F - C/n,
+    # scripts/probe_step22h.py).  Calibrated by
+    # scripts/calibrate_h_blend.py; applies to both engines.
+    h_gd_blend: float = 1.0
     # lattice-frame transformation of the applied (d, w) inside a substep
     # (scheme identification; vmap engine only):
     #   "end"   -> implicit, via R(q_end(xi)) (production)
@@ -416,6 +428,12 @@ def _solve_point_staggered(model: EvptnModel, dt, d_vecd_sm, w_vec_sm, e_n,
                     gd = _gdots_of(model, x_beg, h, temp_k)
                 else:
                     gd = _gdots_of(model, x, h, temp_k)
+                    if model.h_gd_blend != 1.0:
+                        x_beg = jnp.concatenate(
+                            [e_c, jnp.zeros(3, dtype=dtype)])
+                        gd_b = _gdots_of(model, x_beg, h, temp_k)
+                        gd = (model.h_gd_blend * gd
+                              + (1.0 - model.h_gd_blend) * gd_b)
                 if model.h_gd_source == "h_forward":
                     h = model.kinetics.update_h_explicit(
                         h_c, gd, dt_sub, temp_k)

@@ -572,6 +572,16 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
                 taus = const_mm_cm(np.asarray(model.slip.P) @
                                    np.asarray(model.elast.C_dev), x[:5])
                 gd = _kinetics_eval(model, taus, h, temp_k, False)
+                blend = float(getattr(model, "h_gd_blend", 1.0))
+                if blend != 1.0:
+                    # blend toward the begin-of-substep slip rates: a
+                    # continuous truncation-constant knob for identifying
+                    # the reference's per-substep map (see EvptnModel)
+                    taus_b = const_mm_cm(np.asarray(model.slip.P) @
+                                         np.asarray(model.elast.C_dev),
+                                         e_c)
+                    gd_b = _kinetics_eval(model, taus_b, h, temp_k, False)
+                    gd = blend * gd + (1.0 - blend) * gd_b
                 h = kin.update_h(h_c.T, gd.T, dt_sub[:, None], temp_k).T
             return (x, h_used, h, it_tot + iters,
                     jnp.logical_and(conv, ok))

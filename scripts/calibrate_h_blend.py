@@ -1,0 +1,101 @@
+"""Calibrate EvptnModel.h_gd_blend against the identified reference
+truncation constant.
+
+Background (scripts/probe_step22h.py): the per-step golden error of the
+staggered substep map obeys err(n) = F - C/n with the fine limit F
+shared between repo and reference and C_ref = 1.006 x C_repo.  The
+h_gd_blend knob (gd_eff = a*gd_converged + (1-a)*gd_begin in the
+per-substep hardness update) moves C continuously without moving F, so
+the calibration reduces to solving C(a*) = (C_ref/C_repo) * C(1.0).
+
+This script measures C(a) at the MATERIAL-POINT level (no FEM in the
+loop; probe_step22h measured R2-Rs = -2.7e-6, i.e. the truncation is
+material-internal): a 128-orientation batch marched through the first
+21 voce_full steps, then the step-22 (dt=0.2) map evaluated at
+n = 1,2,3,4 substeps against an n=64 fine limit.  c_n = n*(szz_n -
+szz_fine) should be ~constant over n (first-order law); the calibration
+solves the linear model c(a) for the target ratio.
+"""
+import os
+import sys
+import dataclasses
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+TOML = "/root/reference/test/data/voce_full.toml"
+TARGET_RATIO = 1.0738e-2 / 1.0675e-2  # C_ref / C_repo (probe_step22h)
+
+
+def main():
+    import jax.numpy as jnp
+    from exaconstit_tpu.config.options import parse_options
+    from exaconstit_tpu.models.ecmech import build_model
+
+    opt = parse_options(TOML)
+    props = np.loadtxt(opt.abspath(opt.props_file)).reshape(-1)
+    dts = np.loadtxt(opt.abspath(opt.dt_file)).reshape(-1)
+    model0 = build_model(opt, props)
+
+    npts = 128
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(npts, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    state0 = model0.init_state(q)
+
+    rate = 1e-3
+    vgrad = jnp.asarray(np.tile(np.diag([-0.5, -0.5, 1.0]) * rate,
+                                (npts, 1, 1)))
+
+    def with_blend(a, max_sub=None):
+        ev = model0.evptn
+        kw = {"h_gd_blend": float(a)}
+        if max_sub is not None:
+            kw["max_substeps"] = int(max_sub)
+        return dataclasses.replace(model0,
+                                   evptn=dataclasses.replace(ev, **kw))
+
+    def step(model, st, dt, n=None):
+        if n is None:
+            nsub = model.substep_counts(dt)
+            nsub = jnp.full((npts,), nsub, jnp.int32)
+        else:
+            nsub = jnp.full((npts,), n, jnp.int32)
+        stress, st_end, _ = model.model_setup(
+            dt, vgrad, st, compute_tangent=False, nsub=nsub)
+        return np.asarray(stress), st_end
+
+    # march to the end of step 21 with the production map
+    st = jnp.asarray(state0)
+    for i in range(21):
+        _, st = step(model0, st, float(dts[i]))
+    st21 = st
+    dt22 = float(dts[21])
+    print(f"state21 built; dt22 = {dt22}")
+
+    def measure_C(a):
+        m = with_blend(a)
+        m_fine = with_blend(a, max_sub=64)
+        s_fine, _ = step(m_fine, st21, dt22, n=64)
+        zf = s_fine[:, 2].mean()
+        cs = []
+        for n in (1, 2, 3, 4):
+            s_n, _ = step(m, st21, dt22, n=n)
+            c = n * (s_n[:, 2].mean() - zf)
+            cs.append(c)
+            print(f"  a={a:.4f} n={n}  szz={s_n[:, 2].mean():+.9e} "
+                  f"c_n={c:+.6e}")
+        return cs[1]  # n=2, matching the step-22 identification
+
+    C1 = measure_C(1.0)
+    C09 = measure_C(0.9)
+    dCda = (C1 - C09) / 0.1
+    a_star = 1.0 + (TARGET_RATIO - 1.0) * C1 / dCda
+    print(f"C(1.0)={C1:+.6e}  C(0.9)={C09:+.6e}  dC/da={dCda:+.6e}")
+    print(f"target ratio={TARGET_RATIO:.6f}  ->  a* = {a_star:.6f}")
+    Cs = measure_C(a_star)
+    print(f"check: C(a*)={Cs:+.6e}  ratio={Cs / C1:.6f}")
+
+
+if __name__ == "__main__":
+    main()
