@@ -141,19 +141,72 @@ def newton_step_time(ncuts=(32, 32, 32)):
     return t_steps[-1], npts, nit
 
 
+def _emit(out):
+    """Print + fsync the metric JSON line and mirror it to disk.
+
+    Called after EVERY measurement upgrade, so even if the driver's hard
+    timeout kills the process mid-bench the record holds the best line
+    so far (round-2 failure mode: a 64^3 OOM/compile starved the whole
+    record — BENCH_r02.json rc=124, parsed=null)."""
+    line = json.dumps(out)
+    print(line, flush=True)
+    try:
+        os.fsync(sys.stdout.fileno())
+    except OSError:
+        pass
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_latest.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
 def main():
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _tiny_problem
 
+    budget_s = float(os.environ.get("EXACONSTIT_BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
+
     system, v0, x0, state, ess_flat = _tiny_problem([16, 16, 16])
     evals_s, step_secs, flops, hbm_bytes = material_throughput(
         system, v0, x0, state, ess_flat)
 
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f).get("value")
+    if baseline is None:
+        baseline = evals_s
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"value": evals_s,
+                       "metric": "qpt_material_evals_per_sec_per_chip"}, f)
+
+    # PRIMARY METRIC LINE — emitted immediately; everything below only
+    # upgrades it with appended lines (the driver takes any parseable
+    # JSON line, and the last one wins for extra keys).
+    out = {
+        "metric": "qpt_material_evals_per_sec_per_chip",
+        "value": evals_s,
+        "unit": "evals/s",
+        "vs_baseline": evals_s / baseline,
+        "backend": jax.default_backend(),
+    }
+    if flops:
+        out["fused_step_gflops"] = flops / 1e9
+        out["fused_step_gflops_per_s"] = flops / step_secs / 1e9
+        out["mfu_bf16"] = flops / step_secs / PEAK_BF16
+    if hbm_bytes:
+        out["fused_step_hbm_gb"] = hbm_bytes / 1e9
+        out["hbm_gbytes_per_s"] = hbm_bytes / step_secs / 1e9
+        out["hbm_bw_utilization"] = hbm_bytes / step_secs / PEAK_HBM_BW
+    _emit(out)
+
     # VMEM-resident Pallas dogleg (solvers/dogleg_pallas.py): same
     # protocol with the f32 stage of the point solve in the Mosaic
     # kernel.  TPU only (the CPU fallback is the interpreter).
-    pallas_evals_s = None
     if (jax.default_backend() == "tpu"
             and os.environ.get("EXACONSTIT_BENCH_PALLAS", "1") != "0"):
         try:
@@ -163,74 +216,41 @@ def main():
                 sys_p, v0p, x0p, st_p, ess_p)
         except Exception as e:  # report the XLA numbers regardless
             print(f"# pallas bench skipped: {e}", flush=True)
+            pallas_evals_s = None
         finally:
             os.environ.pop("EXACONSTIT_PALLAS", None)
+        if pallas_evals_s:
+            out["pallas_evals_per_s"] = pallas_evals_s
+            out["xla_evals_per_s"] = evals_s
+            out["pallas_speedup"] = pallas_evals_s / evals_s
+            if pallas_evals_s > evals_s:
+                out["value"] = pallas_evals_s
+                out["vs_baseline"] = pallas_evals_s / baseline
+            _emit(out)
 
-    # production-size Newton-Krylov step: 64^3 elements (2.1M qpts) per
-    # the round-1 verdict ask, falling back if the chip cannot hold it
-    # (or if the soft wall-clock budget for the whole bench is running
-    # out — the driver runs this unattended, so a huge compile must not
-    # starve the primary metric of its output line)
-    budget_s = float(os.environ.get("EXACONSTIT_BENCH_BUDGET_S", "1500"))
-    t_start = time.perf_counter()
-    sizes = ((64, 64, 64), (48, 48, 48), (32, 32, 32))
+    # production-size Newton-Krylov step — UPGRADE, never a gate.
+    # Ascending sizes so a success at 32^3 is recorded before the
+    # bigger compiles are even attempted; each attempt is budget-gated.
+    sizes = ((32, 32, 32), (48, 48, 48), (64, 64, 64))
     if jax.default_backend() != "tpu":
         sizes = ((8, 8, 8),)  # CPU smoke: skip the big compiles
-    nk_ncuts = None
-    nk_secs, nk_npts, nk_iters = float("nan"), 0, 0
     for ncuts in sizes:
-        if (time.perf_counter() - t_start > 0.5 * budget_s
-                and ncuts != sizes[-1]):
+        if time.perf_counter() - t_start > 0.6 * budget_s:
             print(f"# skipping {ncuts} (bench budget)", flush=True)
-            continue
+            break
         try:
             nk_secs, nk_npts, nk_iters = newton_step_time(ncuts)
-            nk_ncuts = ncuts
-            break
         except Exception as e:
-            print(f"# newton-step bench at {ncuts} failed: {e}",
-                  flush=True)
-
-    baseline = None
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            baseline = json.load(f).get("value")
-    xla_evals_s = evals_s
-    if pallas_evals_s:
-        evals_s = max(evals_s, pallas_evals_s)
-    vs_baseline = evals_s / baseline if baseline else 1.0
-    if baseline is None:
-        with open(BASELINE_FILE, "w") as f:
-            json.dump({"value": evals_s,
-                       "metric": "qpt_material_evals_per_sec_per_chip"}, f)
-
-    out = {
-        "metric": "qpt_material_evals_per_sec_per_chip",
-        "value": evals_s,
-        "unit": "evals/s",
-        "vs_baseline": vs_baseline,
-        "backend": jax.default_backend(),
-    }
-    if nk_ncuts is not None:  # keep the JSON line strictly parseable
+            print(f"# newton-step bench at {ncuts} failed: "
+                  f"{str(e)[:500]}", flush=True)
+            break
         out["newton_krylov_step_seconds"] = nk_secs
         out["newton_step_qpts"] = nk_npts
         out["newton_step_iters"] = nk_iters
         out["newton_step_qpt_evals_per_s"] = \
             nk_npts * max(nk_iters, 1) / nk_secs
-        out["newton_step_mesh"] = list(nk_ncuts)
-    if pallas_evals_s:
-        out["pallas_evals_per_s"] = pallas_evals_s
-        out["xla_evals_per_s"] = xla_evals_s
-        out["pallas_speedup"] = pallas_evals_s / xla_evals_s
-    if flops:
-        out["fused_step_gflops"] = flops / 1e9
-        out["fused_step_gflops_per_s"] = flops / step_secs / 1e9
-        out["mfu_bf16"] = flops / step_secs / PEAK_BF16
-    if hbm_bytes:
-        out["fused_step_hbm_gb"] = hbm_bytes / 1e9
-        out["hbm_gbytes_per_s"] = hbm_bytes / step_secs / 1e9
-        out["hbm_bw_utilization"] = hbm_bytes / step_secs / PEAK_HBM_BW
-    print(json.dumps(out))
+        out["newton_step_mesh"] = list(ncuts)
+        _emit(out)
 
 
 if __name__ == "__main__":
