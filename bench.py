@@ -116,7 +116,6 @@ def newton_step_time(ncuts=(32, 32, 32)):
     from __graft_entry__ import _tiny_problem
 
     system, v0, x0, state, ess_flat = _tiny_problem(list(ncuts))
-    ess = np.asarray(ess_flat).reshape(-1, 3)
 
     # develop flow with the fixed-iteration step (cheap warmup)
     step = system.make_jit_step(newton_iters=2)
@@ -132,7 +131,7 @@ def newton_step_time(ncuts=(32, 32, 32)):
     for _ in range(2):
         t0 = time.perf_counter()
         v, stress, st2, conv, nit, _ = system.newton_solve(
-            v, x, st, 0.05, ess, verbose=False)
+            v, x, st, 0.05, ess_flat, verbose=False)
         jax.block_until_ready(stress)
         t_steps.append(time.perf_counter() - t0)
         x = x + 0.05 * v

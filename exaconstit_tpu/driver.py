@@ -229,15 +229,21 @@ class MechSystem:
         self._constrain_cm = constrain_cm
 
         def gather_cm(tvec):
-            """(nn, 3) nodal field -> (3, nen, ne) element vectors."""
-            return constrain_cm(tvec.T[:, self.conn_T])
+            """Flat (3*nn,) CM nodal field -> (3, nen, ne) element vectors.
+
+            Nodal vectors live as flat component-planes [vx | vy | vz] on
+            device: an (nn, 3) array would be stored (8, 128)-tiled on TPU
+            with its minor dim padded 3 -> 128 (42.7x HBM waste — the
+            round-2 production-size OOM); a flat vector tiles cleanly and
+            the (3, nn) reshape here is a free bitcast."""
+            return constrain_cm(tvec.reshape(3, nn)[:, self.conn_T])
 
         def scatter_add_cm(evec_cm):
-            """(3, nen, ne) -> (nn, 3) scatter-add."""
+            """(3, nen, ne) -> flat (3*nn,) CM scatter-add."""
             out = jnp.zeros((3, nn), dtype=evec_cm.dtype)
             out = out.at[:, self.conn_T.reshape(-1)].add(
                 evec_cm.reshape(3, -1))
-            return constrain_r(out.T)
+            return constrain_r(out.reshape(-1))
 
         # Structured (voxel-brick) meshes: the E<->T maps are pure strided
         # slices — no index gather and, critically, no sort-based TPU
@@ -261,7 +267,7 @@ class MechSystem:
                 return slice(o, o + (n - 1) * p + 1, p)
 
             def gather_cm(tvec):
-                x3 = tvec.T.reshape(3, npz, npy, npx)
+                x3 = tvec.reshape(3, npz, npy, npx)
                 panels = [x3[:, sl(lk, snz), sl(lj, sny),
                              sl(li, snx)].reshape(3, -1)
                           for (li, lj, lk) in loff]
@@ -273,7 +279,7 @@ class MechSystem:
                 for a, (li, lj, lk) in enumerate(loff):
                     out = out.at[:, sl(lk, snz), sl(lj, sny),
                                  sl(li, snx)].add(f[:, a])
-                return out.reshape(3, -1).T
+                return out.reshape(-1)
 
         self._gather_cm = gather_cm
         self._scatter_add_cm = scatter_add_cm
@@ -355,8 +361,11 @@ class MechSystem:
 
         def setup_fn_cm(v, x_beg, state_beg, dt, ess_mask, advance_coords,
                         nsub, x_warm, warm_ok):
-            """Component-major setup: identical math to setup_fn with all
-            element/point arrays batch-minor (no TPU tile padding)."""
+            """Component-major setup: identical math to setup_fn with ALL
+            arrays batch-minor — flat (3*nn,) CM nodal vectors, (nsv, npts)
+            state, (6, npts) stress — so nothing at the jit boundary or in
+            HBM carries TPU tile padding ((ne, nq, 6) pads 6 -> 128 = 21x;
+            (ne, nq, nsv) ~5x; (nn, 3) 42.7x — the round-2 64^3 OOM)."""
             from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
                                        grad_calc_cm, jacobians_cm)
             x_end = x_beg + dt * v if advance_coords else x_beg
@@ -367,27 +376,24 @@ class MechSystem:
             det = det_3x3_cm(J)
             L = grad_calc_cm(el_v, self.dshape, adj, det)  # (3, 3, nq, ne)
             nq, ne = L.shape[2], L.shape[3]
-            nsv = state_beg.shape[2]
-            state_cm = state_beg.transpose(2, 1, 0).reshape(nsv, nq * ne)
             stress, state_end, c6, x_sol = model.model_setup_cm(
-                dt, L.reshape(3, 3, nq * ne), state_cm, nsub=nsub,
+                dt, L.reshape(3, 3, nq * ne), state_beg, nsub=nsub,
                 x_warm=x_warm, warm_ok=warm_ok, with_solution=True)
             stress_q = constrain_cm(stress.reshape(6, nq, ne))
             c6_q = constrain_cm(c6.reshape(6, 6, nq, ne))
             force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
                                           stress_q)
             force = force * self.elem_mask[None, None, :]
-            r = scatter_add_cm(force).reshape(-1)
-            r = jnp.where(ess_mask.reshape(-1), 0.0, r)
+            r = scatter_add_cm(force)
+            r = jnp.where(ess_mask, 0.0, r)
             k_cm = ops.assemble_ea_gradient_cm(el_x, self.dshape, self.qwts,
                                                c6_q, dt)
             k_cm = constrain_cm(k_cm * self.elem_mask[None, None, :])
             dloc = ops.ea_diagonal_cm(k_cm, ref.nnodes)
-            diag = scatter_add_cm(dloc).reshape(-1)
-            diag = jnp.where(ess_mask.reshape(-1), 1.0, diag)
-            stress_pm = stress_q.transpose(2, 1, 0)  # (ne, nq, 6)
-            state_pm = state_end.reshape(nsv, nq, ne).transpose(2, 1, 0)
-            return r, k_cm, diag, stress_pm, state_pm, x_sol
+            diag = scatter_add_cm(dloc)
+            diag = jnp.where(ess_mask, 1.0, diag)
+            return (r, k_cm, diag, stress_q.reshape(6, nq * ne), state_end,
+                    x_sol)
 
         # checked_jit == jax.jit unless EXACONSTIT_CHECK_NUMERICS=1, which
         # threads checkify NaN checks through the whole fused setup
@@ -438,18 +444,16 @@ class MechSystem:
             det = det_3x3_cm(J)
             L = grad_calc_cm(el_v, self.dshape, adj, det)
             nq, ne = L.shape[2], L.shape[3]
-            nsv = state_beg.shape[2]
-            state_cm = state_beg.transpose(2, 1, 0).reshape(nsv, nq * ne)
             stress, _, _ = model.model_setup_cm(
-                dt, L.reshape(3, 3, nq * ne), state_cm,
+                dt, L.reshape(3, 3, nq * ne), state_beg,
                 compute_tangent=False, nsub=nsub, x_warm=x_warm,
                 warm_ok=warm_ok)
             stress_q = constrain_cm(stress.reshape(6, nq, ne))
             force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
                                           stress_q)
             force = force * self.elem_mask[None, None, :]
-            r = scatter_add_cm(force).reshape(-1)
-            return jnp.where(ess_mask.reshape(-1), 0.0, r)
+            r = scatter_add_cm(force)
+            return jnp.where(ess_mask, 0.0, r)
 
         if self.use_cm:
             residual_only = residual_only_cm
@@ -482,7 +486,7 @@ class MechSystem:
         self._max_deff = jax.jit(max_deff)
 
         def apply_k(k_data, x):
-            """K u on an (nn, 3) field -> (nn, 3) (layout-dispatching)."""
+            """K u action (flat (3*nn,) CM field, or (nn, 3) point-major)."""
             if self.use_cm:
                 el_y = ops.apply_ea_gradient_cm(k_data, gather_cm(x))
                 return scatter_add_cm(el_y)
@@ -496,12 +500,15 @@ class MechSystem:
 
         def grad_matvec(k_data, x_flat, ess_mask_flat):
             """y = K x with essential-dof identity rows/cols."""
-            x = jnp.where(ess_mask_flat, 0.0, x_flat).reshape(nn, 3)
+            x = jnp.where(ess_mask_flat, 0.0, x_flat)
+            if not self.use_cm:
+                x = x.reshape(nn, 3)
             y = apply_k(k_data, x).reshape(-1)
             return jnp.where(ess_mask_flat, x_flat, y)
 
         def grad_matvec_unconstrained(k_data, x_flat):
-            return apply_k(k_data, x_flat.reshape(nn, 3)).reshape(-1)
+            x = x_flat if self.use_cm else x_flat.reshape(nn, 3)
+            return apply_k(k_data, x).reshape(-1)
 
         self._grad_matvec_unconstrained = jax.jit(grad_matvec_unconstrained)
 
@@ -543,10 +550,20 @@ class MechSystem:
         self._krylov_raw = krylov_solve
 
         def vol_avg(values_q, el_x, divide):
-            """Volume-weighted average (or integral) of a qpt field."""
-            wts = ops.quad_point_volumes(el_x, self.dshape, self.qwts)
-            wts = wts * self.elem_mask[:, None]
-            s = jnp.einsum("eq,eqk->k", wts, values_q)
+            """Volume-weighted average (or integral) of a qpt field.
+
+            Layout-dispatching: CM values (k, nq, ne) with el_x
+            (3, nen, ne); point-major values (ne, nq, k) with el_x
+            (ne, nen, 3)."""
+            if self.use_cm:
+                wts = ops.quad_point_volumes_cm(el_x, self.dshape,
+                                                self.qwts)
+                wts = wts * self.elem_mask[None, :]
+                s = jnp.einsum("qe,kqe->k", wts, values_q)
+            else:
+                wts = ops.quad_point_volumes(el_x, self.dshape, self.qwts)
+                wts = wts * self.elem_mask[:, None]
+                s = jnp.einsum("eq,eqk->k", wts, values_q)
             if divide:
                 return s / jnp.sum(wts)
             return s
@@ -562,6 +579,84 @@ class MechSystem:
     def _warm_zeros(self, dtype):
         """Cold warm-start carry (component-major solution layout)."""
         return jnp.zeros((8, self._warm_npts), dtype)
+
+    # -- layout adapters (jit-boundary contract) -----------------------------
+    # With use_cm the device-resident contract is: nodal vectors flat
+    # (3*nn,) component-planes, state (nsv, nq*ne_pad), stress (6, npts),
+    # ess masks flat (3*nn,) — every minor axis is a big batch dim, so no
+    # array at rest or at the jit boundary pays TPU tile padding.  Host
+    # code converses in the reference's point-major shapes through these
+    # adapters (host np transposes, once per step at most).
+
+    def _put_r(self, a):
+        return a if self._shard_r is None else jax.device_put(a,
+                                                              self._shard_r)
+
+    def _put_cm(self, a):
+        if self.device_mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec
+        s = NamedSharding(self.device_mesh,
+                          PartitionSpec(*([None] * (a.ndim - 1) + ["elems"])))
+        return jax.device_put(a, s)
+
+    def _put_e(self, a):
+        return a if self._shard_e is None else jax.device_put(a,
+                                                              self._shard_e)
+
+    def to_node(self, arr):
+        """Host (nn, 3) nodal field -> device array in the system layout."""
+        a = np.asarray(arr)
+        return self._put_r(jnp.asarray(a.T.reshape(-1) if self.use_cm
+                                       else a))
+
+    def from_node(self, dev):
+        """Device nodal field -> host np (nn, 3)."""
+        a = np.asarray(dev)
+        return a.reshape(3, -1).T if self.use_cm else a
+
+    def to_ess(self, mask):
+        """(nn, 3) bool mask -> flat device mask in the system dof order."""
+        m = np.asarray(mask)
+        return self._put_r(jnp.asarray(m.T.reshape(-1) if self.use_cm
+                                       else m.reshape(-1)))
+
+    def to_state(self, pm):
+        """Host (ne_pad, nq, k) qpt field -> device system layout."""
+        a = np.asarray(pm)
+        if self.use_cm:
+            return self._put_cm(jnp.asarray(
+                a.transpose(2, 1, 0).reshape(a.shape[2], -1)))
+        return self._put_e(jnp.asarray(a))
+
+    def from_state(self, dev):
+        """Device qpt field -> host np (ne_pad, nq, k)."""
+        a = np.asarray(dev)
+        if self.use_cm:
+            return a.reshape(a.shape[0], self.fes.nqpts,
+                             self.ne_pad).transpose(2, 1, 0)
+        return a
+
+    # stress shares the (k, npts) <-> (ne, nq, k) transform
+    to_stress = to_state
+    from_stress = from_state
+
+    def zeros_stress(self, dtype=None):
+        if self.use_cm:
+            return self._put_cm(jnp.zeros(
+                (6, self.fes.nqpts * self.ne_pad), dtype=dtype))
+        return self._put_e(jnp.zeros((self.ne_pad, self.fes.nqpts, 6),
+                                     dtype=dtype))
+
+    def _ess_flat(self, ess_mask):
+        """Accept an (nn, 3) host mask or an already-flat device mask."""
+        if getattr(ess_mask, "ndim", 2) == 1:
+            return jnp.asarray(ess_mask)
+        return self.to_ess(ess_mask)
+
+    def _unflat_c(self, c):
+        """Krylov correction (flat) -> the nodal-field layout."""
+        return c if self.use_cm else c.reshape(-1, 3)
 
     def _timed(self, name, fn, *args):
         """Run fn; when region accounting is on, block + record wall time
@@ -598,7 +693,7 @@ class MechSystem:
                     r, kd, dg, _, _, xs = self._setup_raw(
                         v, x_beg, state, dt, ess_flat, True, nsub, xw, ok)
                     c, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
-                    return (v - c.reshape(-1, 3), xs,
+                    return (v - self._unflat_c(c), xs,
                             jnp.asarray(use_warm))
 
                 v, xw, ok = jax.lax.fori_loop(0, newton_iters, newton_body,
@@ -610,7 +705,7 @@ class MechSystem:
                     r, kd, dg, _, _ = self._setup_raw(v, x_beg, state, dt,
                                                       ess_flat, True, nsub)
                     c, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
-                    return v - c.reshape(-1, 3)
+                    return v - self._unflat_c(c)
 
                 v = jax.lax.fori_loop(0, newton_iters, newton_body, v)
                 r, kd, dg, stress, state_end = self._setup_raw(
@@ -634,7 +729,7 @@ class MechSystem:
         line-searches (the reference's behavior).
         """
         opt = self.opt
-        ess_flat = jnp.asarray(ess_mask.reshape(-1))
+        ess_flat = self._ess_flat(ess_mask)
         # substep counts frozen at step entry (smooth residual over NR)
         nsub = self._compute_nsub(v, x_beg, dt)
         warm = getattr(self, "_warm_arity", False)
@@ -686,7 +781,7 @@ class MechSystem:
                 break
             c, kit, kdone = self._timed("krylov_solve", self._krylov,
                                         k_data, diag, r, ess_flat)
-            c = c.reshape(-1, 3)
+            c = self._unflat_c(c)
             q1 = norm
 
             def quad_ls():
@@ -728,7 +823,7 @@ class MechSystem:
 
     # -- BC-change corrector (SystemDriver::SolveInit) ----------------------
     def solve_init(self, v_prev, v_new, x_beg, state, dt, ess_mask):
-        ess_flat = jnp.asarray(ess_mask.reshape(-1))
+        ess_flat = self._ess_flat(ess_mask)
         delta = jnp.where(ess_flat, (v_new - v_prev).reshape(-1), 0.0)
         # local (unconstrained) gradient action on the BC delta + residual,
         # with geometry NOT advanced (Setup<false>,
@@ -744,7 +839,7 @@ class MechSystem:
         y = self._grad_matvec_unconstrained(k_data, delta)
         y = jnp.where(ess_flat, 0.0, y) + r
         c, kit, kdone = self._krylov(k_data, diag, y, ess_flat)
-        return v_prev - c.reshape(-1, 3)
+        return v_prev - self._unflat_c(c)
 
 
 # ----------------------------------------------------------------------------
@@ -862,23 +957,16 @@ class Simulation:
         if ne_pad > fes.num_elems:
             pad = np.tile(state0[:1], (ne_pad - fes.num_elems, 1, 1))
             state0 = np.concatenate([state0, pad], axis=0)
-        self.state = jnp.asarray(state0)
-        self.stress = jnp.zeros((ne_pad, nq, 6))
+        # device-resident fields live in the system's jit-boundary layout
+        # (flat CM nodal vectors / (k, npts) qpt fields on the CM path)
+        self.state = self.system.to_state(state0)
+        self.stress = self.system.zeros_stress()
 
         # ---- coordinates / velocity ----
-        self.x_ref = jnp.asarray(self.mesh.coords)
+        self.x_ref = self.system.to_node(self.mesh.coords)
         self.x_beg = self.x_ref
         self.x_cur = self.x_ref
         self.v = jnp.zeros_like(self.x_ref)
-        if device_mesh is not None:
-            from .parallel.sharding import elem_sharding, replicated
-            se, sr = elem_sharding(device_mesh), replicated(device_mesh)
-            self.state = jax.device_put(self.state, se)
-            self.stress = jax.device_put(self.stress, se)
-            self.x_ref = jax.device_put(self.x_ref, sr)
-            self.x_beg = self.x_ref
-            self.x_cur = self.x_ref
-            self.v = jax.device_put(self.v, sr)
 
         # ---- time stepping ----
         if opt.dt_cust:
@@ -907,11 +995,12 @@ class Simulation:
     # -- UpdateVelocity (system_driver.cpp:327-427) -------------------------
     def update_velocity(self):
         bcs = self.cur_bcs
-        v = np.asarray(self.v).copy()
+        sysm = self.system
+        v = sysm.from_node(self.v).copy()
         if bcs.has_vel:
             v[bcs.vel_nodes] = bcs.vel_values
         if bcs.has_vgrad:
-            x = np.asarray(self.x_cur)
+            x = sysm.from_node(self.x_cur)
             if self.opt.vgrad_origin_flag:
                 origin = np.asarray(self.opt.vgrad_origin)
             else:
@@ -919,7 +1008,7 @@ class Simulation:
             v_full = (x - origin) @ bcs.vgrad.T
             mask = bcs.vgrad_mask
             v[mask] = v_full[mask]
-        self.v = jnp.asarray(v)
+        self.v = sysm.to_node(v)
 
     # -- one time step -------------------------------------------------------
     def advance(self, ti, dt, verbose=True):
@@ -1026,38 +1115,67 @@ class Simulation:
     def write_averages(self):
         opt = self.opt
         sysm = self.system
-        el_x = sysm._gather(self.x_cur)
-        avg_stress = np.asarray(sysm._vol_avg(self.stress, el_x, True))
+        cm = sysm.use_cm
+        nq = sysm.fes.nqpts
+        if cm:
+            el_x = sysm._gather_cm(self.x_cur)
+            stress_q = self.stress.reshape(6, nq, -1)
+        else:
+            el_x = sysm._gather(self.x_cur)
+            stress_q = self.stress
+        avg_stress = np.asarray(sysm._vol_avg(stress_q, el_x, True))
         self._append_file(opt.avg_stress_fname,
                           " ".join(f"{v:.6g}" for v in avg_stress) + "\n")
         if opt.additional_avgs:
-            nsv = self.state.shape[-1]
             if opt.mech_type == MechType.EXACMECH:
                 off, _ = self.model.qf_mapping["pl_work"]
-                plw = np.asarray(sysm._vol_avg(
-                    self.state[:, :, off:off + 1], el_x, False))
+                plw_q = (self.state[off:off + 1].reshape(1, nq, -1) if cm
+                         else self.state[:, :, off:off + 1])
+                plw = np.asarray(sysm._vol_avg(plw_q, el_x, False))
                 self._append_file(opt.avg_pl_work_fname, f"{plw[0]:.6g}\n")
             # average deformation gradient F = d x_cur / d X  (column-major
             # 9-vector layout, mechanics_operator.cpp:393-427)
-            el_X = sysm._gather(self.x_ref)
-            Jref = jacobians(el_X, sysm.dshape)
-            F = grad_calc(el_x, sysm.dshape, Jref)
-            Fcols = jnp.stack([F[..., i, j] for j in range(3)
-                               for i in range(3)], axis=-1)
-            wts_ref = ops.quad_point_volumes(el_X, sysm.dshape, sysm.qwts)
-            wts_ref = wts_ref * sysm.elem_mask[:, None]
-            favg = np.asarray(jnp.einsum("eq,eqk->k", wts_ref, Fcols)
-                              / jnp.sum(wts_ref))
+            if cm:
+                from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
+                                           grad_calc_cm, jacobians_cm)
+                el_X = sysm._gather_cm(self.x_ref)
+                Jref = jacobians_cm(el_X, sysm.dshape)
+                F = grad_calc_cm(el_x, sysm.dshape, adjugate_3x3_cm(Jref),
+                                 det_3x3_cm(Jref))  # (3, 3, nq, ne)
+                Fcols = jnp.stack([F[i, j] for j in range(3)
+                                   for i in range(3)])  # (9, nq, ne)
+                wts_ref = ops.quad_point_volumes_cm(el_X, sysm.dshape,
+                                                    sysm.qwts)
+                wts_ref = wts_ref * sysm.elem_mask[None, :]
+                favg = np.asarray(jnp.einsum("qe,kqe->k", wts_ref, Fcols)
+                                  / jnp.sum(wts_ref))
+            else:
+                el_X = sysm._gather(self.x_ref)
+                Jref = jacobians(el_X, sysm.dshape)
+                F = grad_calc(el_x, sysm.dshape, Jref)
+                Fcols = jnp.stack([F[..., i, j] for j in range(3)
+                                   for i in range(3)], axis=-1)
+                wts_ref = ops.quad_point_volumes(el_X, sysm.dshape,
+                                                 sysm.qwts)
+                wts_ref = wts_ref * sysm.elem_mask[:, None]
+                favg = np.asarray(jnp.einsum("eq,eqk->k", wts_ref, Fcols)
+                                  / jnp.sum(wts_ref))
             self._append_file(opt.avg_def_grad_fname,
                               " ".join(f"{v:.6g}" for v in favg) + "\n")
             if opt.mech_type == MechType.EXACMECH:
-                ne, nq = self.state.shape[0], self.state.shape[1]
                 state_dp = getattr(self, "state_prev", self.state)
-                dp = self.model.dp_mat(state_dp.reshape(ne * nq, nsv))
-                dp = dp.reshape(ne, nq, 3, 3)
-                dpavg9 = np.asarray(sysm._vol_avg(
-                    jnp.stack([dp[..., i, j] for j in range(3)
-                               for i in range(3)], axis=-1), el_x, True))
+                if cm:
+                    dp = self.model.dp_mat(state_dp.T)  # (npts, 3, 3)
+                    dp9 = jnp.stack([dp[:, i, j] for j in range(3)
+                                     for i in range(3)])
+                    dp9 = dp9.reshape(9, nq, -1)
+                else:
+                    ne_, nq_, nsv = state_dp.shape
+                    dp = self.model.dp_mat(state_dp.reshape(ne_ * nq_, nsv))
+                    dp = dp.reshape(ne_, nq_, 3, 3)
+                    dp9 = jnp.stack([dp[..., i, j] for j in range(3)
+                                     for i in range(3)], axis=-1)
+                dpavg9 = np.asarray(sysm._vol_avg(dp9, el_x, True))
                 # (0,4,8,5,2,1) col-major -> svec (system_driver.cpp:537-543)
                 dp6 = dpavg9[[0, 4, 8, 5, 2, 1]]
                 self._append_file(opt.avg_dp_tensor_fname,

@@ -18,42 +18,35 @@ def save_checkpoint(path: str, sim, t: float, ti: int):
     # active BC epoch: the last update step <= ti (BCManager semantics --
     # cur_bcs stays fixed between update steps)
     bc_epoch = max(s for s in sim.update_steps if s <= ti)
+    # archived in the reference's point-major shapes (format stability
+    # across layout choices: the device layout is a MechSystem detail)
+    sysm = sim.system
     arrays = dict(
-        x_beg=np.asarray(sim.x_beg),
-        v=np.asarray(sim.v),
-        state=np.asarray(sim.state),
-        stress=np.asarray(sim.stress),
+        x_beg=sysm.from_node(sim.x_beg),
+        v=sysm.from_node(sim.v),
+        state=sysm.from_state(sim.state),
+        stress=sysm.from_stress(sim.stress),
         t=t,
         ti=ti,
         dt_auto_cur=sim.dt_auto_cur,
         bc_epoch=bc_epoch,
     )
     if hasattr(sim, "state_prev"):
-        arrays["state_prev"] = np.asarray(sim.state_prev)
+        arrays["state_prev"] = sysm.from_state(sim.state_prev)
     np.savez_compressed(path, **arrays)
 
 
 def load_checkpoint(path: str, sim):
-    import jax
-    import jax.numpy as jnp
-
     data = np.load(path)
 
-    if sim.device_mesh is not None:
-        from ..parallel.sharding import elem_sharding, replicated
-        se, sr = elem_sharding(sim.device_mesh), replicated(sim.device_mesh)
-        put_e = lambda a: jax.device_put(jnp.asarray(a), se)
-        put_r = lambda a: jax.device_put(jnp.asarray(a), sr)
-    else:
-        put_e = put_r = jnp.asarray
-
-    sim.x_beg = put_r(data["x_beg"])
+    sysm = sim.system
+    sim.x_beg = sysm.to_node(data["x_beg"])
     sim.x_cur = sim.x_beg
-    sim.v = put_r(data["v"])
-    sim.state = put_e(data["state"])
-    sim.stress = put_e(data["stress"])
+    sim.v = sysm.to_node(data["v"])
+    sim.state = sysm.to_state(data["state"])
+    sim.stress = sysm.to_stress(data["stress"])
     if "state_prev" in data:
-        sim.state_prev = put_e(data["state_prev"])
+        sim.state_prev = sysm.to_state(data["state_prev"])
     sim.dt_auto_cur = float(data["dt_auto_cur"])
     # restore the active BC epoch: without this, a restart after a BC
     # change silently resumes with the step-1 BCs until the next update

@@ -19,12 +19,19 @@ from ..utils import tensors as tn
 
 
 def element_average(sim, qf):
-    """(ne, nq, k) quadrature field -> (ne_real, k) element averages."""
+    """(ne, nq, k) point-major quadrature field -> (ne_real, k) averages."""
     sysm = sim.system
-    el_x = sysm._gather(sim.x_cur)
+    el_x = _el_x_pm(sim)
     wts = ops.quad_point_volumes(el_x, sysm.dshape, sysm.qwts)
     avg = jnp.einsum("eq,eqk->ek", wts, qf) / jnp.sum(wts, axis=1)[:, None]
     return np.asarray(avg)[:sim.system.fes.num_elems]
+
+
+def _el_x_pm(sim):
+    """Gathered element coords (ne, nen, 3), independent of the system's
+    device layout (vis runs host-side once per vis_steps)."""
+    sysm = sim.system
+    return sysm._gather(jnp.asarray(sysm.from_node(sim.x_cur)))
 
 
 def compute_element_fields(sim, light_up=False):
@@ -34,7 +41,7 @@ def compute_element_fields(sim, light_up=False):
     ne_real = sysm.fes.num_elems
     fields = {}
 
-    stress = element_average(sim, sim.stress)
+    stress = element_average(sim, sysm.from_stress(sim.stress))
     fields["Stress"] = stress
     s = stress
     t1 = s[:, 0] - s[:, 1]
@@ -45,12 +52,12 @@ def compute_element_fields(sim, light_up=False):
         0.5 * (t1 * t1 + t2 * t2 + t3 * t3 + 6.0 * t4))
     fields["HydrostaticStress"] = s[:, :3].mean(axis=1)
 
-    el_x = sysm._gather(sim.x_cur)
+    el_x = _el_x_pm(sim)
     vols = np.asarray(ops.element_volumes(el_x, sysm.dshape, sysm.qwts))
     fields["ElementVolume"] = vols[:ne_real]
     fields["GrainId"] = sim.mesh.elem_attr.astype(float)
 
-    state_avg = element_average(sim, sim.state)
+    state_avg = element_average(sim, sysm.from_state(sim.state))
     qmap = model.qf_mapping
     off, n = qmap["shrateEff"]
     fields["DpEff"] = state_avg[:, off]
@@ -98,15 +105,16 @@ def write_vis_step(sim, ti, t, entries):
     base = sim.opt.basename
     fields = compute_element_fields(sim, light_up=sim.opt.light_up)
     # displacement as point data
-    disp = np.asarray(sim.x_cur - sim.x_ref)
-    vel = np.asarray(sim.v)
+    x_cur = sim.system.from_node(sim.x_cur)
+    disp = x_cur - sim.system.from_node(sim.x_ref)
+    vel = sim.system.from_node(sim.v)
     points = {"Displacement": disp, "Velocity": vel}
 
     if sim.opt.paraview or sim.opt.visit:
         from .vtk import write_pvd, write_vtu
         vtu_dir = os.path.join(sim.workdir, base)
         vtu_name = f"step_{ti:06d}.vtu"
-        write_vtu(os.path.join(vtu_dir, vtu_name), np.asarray(sim.x_cur),
+        write_vtu(os.path.join(vtu_dir, vtu_name), x_cur,
                   np.asarray(sim.mesh.conn), sim.mesh.order,
                   cell_fields=fields, point_fields=points)
         entries.append((t, os.path.join(base, vtu_name)))
@@ -114,5 +122,5 @@ def write_vis_step(sim, ti, t, entries):
     if sim.opt.conduit or sim.opt.adios2:
         from .hdf5_dc import write_hdf5_step
         write_hdf5_step(os.path.join(sim.workdir, base + ".h5"), ti, t,
-                        np.asarray(sim.x_cur), np.asarray(sim.mesh.conn),
+                        x_cur, np.asarray(sim.mesh.conn),
                         fields, points)

@@ -103,29 +103,35 @@ def test_setup_matches(sims):
     """Residual/diagonal/stress/state from the CM setup == PM setup."""
     pm, cm = sims
     sp, sc = pm.system, cm.system
-    v = jnp.asarray(0.001 * np.random.default_rng(1).standard_normal(
-        (sp.fes.num_nodes, 3)))
-    x = jnp.asarray(sp.fes.mesh.coords)
-    state = jnp.asarray(pm.state)
-    ess = jnp.zeros((sp.fes.num_nodes * 3,), bool)
+    v_np = 0.001 * np.random.default_rng(1).standard_normal(
+        (sp.fes.num_nodes, 3))
+    x_np = np.asarray(sp.fes.mesh.coords)
+    state_np = np.asarray(pm.state)  # point-major (pm system layout)
+    ess_np = np.zeros((sp.fes.num_nodes, 3), bool)
     dt = 0.1
-    nsub_p = sp._compute_nsub(v, x, dt)
-    nsub_c = sc._compute_nsub(v, x, dt)
-    xw_p = jnp.zeros((8, sp._warm_npts), state.dtype)
-    xw_c = jnp.zeros((8, sc._warm_npts), state.dtype)
+    # each system consumes its own jit-boundary layout
+    vp, xp, essp = jnp.asarray(v_np), jnp.asarray(x_np), \
+        jnp.asarray(ess_np.reshape(-1))
+    vc, xc, essc = sc.to_node(v_np), sc.to_node(x_np), sc.to_ess(ess_np)
+    statec = sc.to_state(state_np)
+    statep = jnp.asarray(state_np)
+    nsub_p = sp._compute_nsub(vp, xp, dt)
+    nsub_c = sc._compute_nsub(vc, xc, dt)
+    xw_p = jnp.zeros((8, sp._warm_npts), statep.dtype)
+    xw_c = jnp.zeros((8, sc._warm_npts), statep.dtype)
     cold = jnp.asarray(False)
-    rp, kp, dp_, stp, sep = sp._setup(v, x, state, dt, ess, True, nsub_p,
-                                      xw_p, cold)[:5]
-    rc, kc, dc, stc, sec = sc._setup(v, x, state, dt, ess, True, nsub_c,
-                                     xw_c, cold)[:5]
-    np.testing.assert_allclose(np.asarray(rc), np.asarray(rp), rtol=2e-11,
-                               atol=1e-13)
-    np.testing.assert_allclose(np.asarray(dc), np.asarray(dp_), rtol=2e-11,
-                               atol=1e-13)
-    np.testing.assert_allclose(np.asarray(stc), np.asarray(stp), rtol=5e-9,
-                               atol=1e-12)
-    np.testing.assert_allclose(np.asarray(sec), np.asarray(sep), rtol=5e-8,
-                               atol=1e-11)
+    rp, kp, dp_, stp, sep = sp._setup(vp, xp, statep, dt, essp, True,
+                                      nsub_p, xw_p, cold)[:5]
+    rc, kc, dc, stc, sec = sc._setup(vc, xc, statec, dt, essc, True,
+                                     nsub_c, xw_c, cold)[:5]
+    np.testing.assert_allclose(sc.from_node(rc).reshape(-1),
+                               np.asarray(rp), rtol=2e-11, atol=1e-13)
+    np.testing.assert_allclose(sc.from_node(dc).reshape(-1),
+                               np.asarray(dp_), rtol=2e-11, atol=1e-13)
+    np.testing.assert_allclose(sc.from_stress(stc), np.asarray(stp),
+                               rtol=5e-9, atol=1e-12)
+    np.testing.assert_allclose(sc.from_state(sec), np.asarray(sep),
+                               rtol=5e-8, atol=1e-11)
     # CM stiffness == PM stiffness (transposed layout)
     np.testing.assert_allclose(np.asarray(kc).transpose(2, 0, 1),
                                np.asarray(kp), rtol=2e-9, atol=1e-11)
@@ -141,9 +147,11 @@ def test_newton_step_matches(sims):
     # state column 3 is the NFEVAL diagnostic (dogleg iteration count);
     # the CM path warm-starts the point solve across Newton iterations,
     # so its counts legitimately differ from the cold PM path
-    st_c, st_p = np.asarray(cm.state).copy(), np.asarray(pm.state).copy()
+    st_c = cm.system.from_state(cm.state).copy()
+    st_p = np.asarray(pm.state).copy()
     st_c[:, :, 3] = 0.0
     st_p[:, :, 3] = 0.0
     np.testing.assert_allclose(st_c, st_p, rtol=1e-7, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(cm.stress), np.asarray(pm.stress),
+    np.testing.assert_allclose(cm.system.from_stress(cm.stress),
+                               np.asarray(pm.stress),
                                rtol=1e-7, atol=1e-9)

@@ -33,10 +33,10 @@ def test_sharded_step_matches_single_device():
     # velocity field identical
     np.testing.assert_allclose(np.asarray(o8[0]), np.asarray(o1[0]),
                                rtol=1e-10, atol=1e-14)
-    # stress on the real elements identical
+    # stress on the real elements identical (system layout -> point-major)
     ne = sys1.fes.num_elems
-    np.testing.assert_allclose(np.asarray(o8[2])[:ne],
-                               np.asarray(o1[2])[:ne],
+    np.testing.assert_allclose(sys8.from_stress(o8[2])[:ne],
+                               sys1.from_stress(o1[2])[:ne],
                                rtol=1e-9, atol=1e-13)
     # residual norms agree (converged -> near zero, so absolute tolerance)
     np.testing.assert_allclose(float(o8[4]), float(o1[4]), rtol=1e-6,
@@ -54,10 +54,12 @@ def test_vol_average_sharded():
     dmesh = make_device_mesh(8)
     sys8, v8, x8, st8, ess8 = _tiny_problem([3, 3, 3], device_mesh=dmesh)
 
-    el_x1 = sys1._gather(x1)
-    el_x8 = sys8._gather(x8)
-    q1 = jnp.ones((sys1.ne_pad, sys1.fes.nqpts, 6))
-    q8 = jnp.ones((sys8.ne_pad, sys8.fes.nqpts, 6))
+    el_x1 = sys1._gather_cm(x1) if sys1.use_cm else sys1._gather(x1)
+    el_x8 = sys8._gather_cm(x8) if sys8.use_cm else sys8._gather(x8)
+    q1 = jnp.ones((6, sys1.fes.nqpts, sys1.ne_pad) if sys1.use_cm
+                  else (sys1.ne_pad, sys1.fes.nqpts, 6))
+    q8 = jnp.ones((6, sys8.fes.nqpts, sys8.ne_pad) if sys8.use_cm
+                  else (sys8.ne_pad, sys8.fes.nqpts, 6))
     a1 = np.asarray(sys1._vol_avg(q1, el_x1, True))
     a8 = np.asarray(sys8._vol_avg(q8, el_x8, True))
     np.testing.assert_allclose(a8, a1, rtol=1e-12)

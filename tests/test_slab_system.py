@@ -61,8 +61,8 @@ def test_slab_matches_dense(problem):
     dt = 0.05
 
     vd, stress_d, state_d, conv_d, it_d, _ = dense.newton_solve(
-        jnp.asarray(v0), jnp.asarray(mesh.coords), jnp.asarray(state), dt,
-        ess, verbose=False)
+        dense.to_node(v0), dense.to_node(mesh.coords),
+        dense.to_state(state), dt, ess, verbose=False)
     assert conv_d
 
     dmesh = make_device_mesh(8)
@@ -77,15 +77,17 @@ def test_slab_matches_dense(problem):
 
     # converged velocity matches everywhere
     v_glob = slab.to_global_nodes(vs)
-    np.testing.assert_allclose(v_glob, np.asarray(vd), atol=2e-12)
+    np.testing.assert_allclose(v_glob, dense.from_node(vd), atol=2e-12)
     # stress / state in original element order
     np.testing.assert_allclose(slab.unpermute_elems(stress_s),
-                               np.asarray(stress_d), atol=1e-11)
+                               dense.from_stress(stress_d), atol=1e-11)
     np.testing.assert_allclose(slab.unpermute_elems(state_s),
-                               np.asarray(state_d), atol=1e-10)
+                               dense.from_state(state_d), atol=1e-10)
     # volume-averaged stress identical
+    nq = dense.fes.nqpts
     avg_d = np.asarray(dense._vol_avg(
-        stress_d, dense._gather(jnp.asarray(mesh.coords) + dt * vd), True))
+        stress_d.reshape(6, nq, -1),
+        dense._gather_cm(dense.to_node(mesh.coords) + dt * vd), True))
     avg_s = np.asarray(slab._vol_avg(
         stress_s, slab._gather(x_l + dt * vs), True))
     # atol covers reduction-ordering noise on ~1e-9 components
@@ -103,9 +105,9 @@ def test_slab_solve_init_matches_dense(problem):
     v_new = v0.copy()
     v_new[mesh.bdr_nodes[4], 2] = 2e-3  # BC change
 
-    out_d = dense.solve_init(jnp.asarray(v0), jnp.asarray(v_new),
-                             jnp.asarray(mesh.coords), jnp.asarray(state),
-                             dt, ess)
+    out_d = dense.solve_init(dense.to_node(v0), dense.to_node(v_new),
+                             dense.to_node(mesh.coords),
+                             dense.to_state(state), dt, ess)
 
     dmesh = make_device_mesh(8)
     slab = SlabMechSystem(opt, mesh, model, dmesh)
@@ -115,4 +117,4 @@ def test_slab_solve_init_matches_dense(problem):
                             slab.permute_elems(state), dt,
                             np.asarray(slab.to_local_nodes(ess)))
     np.testing.assert_allclose(slab.to_global_nodes(out_s),
-                               np.asarray(out_d), atol=1e-11)
+                               dense.from_node(out_d), atol=1e-11)
