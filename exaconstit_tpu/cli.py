@@ -30,7 +30,19 @@ def main(argv=None):
     if (_os.environ.get("EXACONSTIT_TPU_DIST") == "1"
             or _os.environ.get("JAX_COORDINATOR_ADDRESS")):
         import jax
-        jax.distributed.initialize()
+
+        # jax's cluster auto-detection covers SLURM/OpenMPI/TPU pods;
+        # for plain multi-process launches (the mpirun -np N analog,
+        # tests/test_distributed.py) pass the generic env triplet
+        # explicitly.
+        def _ienv(name):
+            v = _os.environ.get(name)
+            return int(v) if v is not None else None
+
+        jax.distributed.initialize(
+            coordinator_address=_os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=_ienv("JAX_NUM_PROCESSES"),
+            process_id=_ienv("JAX_PROCESS_ID"))
 
     from .driver import run_simulation
     from .utils.profiling import maybe_profile

@@ -231,6 +231,14 @@ class ExaOptions:
     checkpoint_steps: int = 0
     checkpoint_dir: str = "checkpoint"
     restart: bool = False
+    # multi-device domain decomposition (the reference always
+    # ParMesh-partitions, mechanics_driver.cpp:312-315):
+    #   "auto"       slab halo-exchange partition when >1 device and the
+    #                mesh/solver support it, else replicated-node sharding
+    #   "slab"       require the slab partition (error if unsupported)
+    #   "replicated" element-sharded state + replicated nodes
+    #   "single"     ignore extra devices
+    parallel_mode: str = "auto"
 
     # ------------------------------------------------------------------
     @property
@@ -533,8 +541,11 @@ def _parse_solvers(opt: ExaOptions, data: dict):
         opt.solver = KrylovSolver(ks)
     except ValueError:
         _abort("Solvers.Krylov.solver was not provided a valid type.")
-    # TPU-native extension
+    # TPU-native extensions
     opt.precision = str(table.get("precision", "f64")).lower()
+    opt.parallel_mode = str(table.get("parallel_mode", "auto")).lower()
+    if opt.parallel_mode not in ("auto", "slab", "replicated", "single"):
+        _abort("Solvers.parallel_mode must be auto|slab|replicated|single")
 
 
 def _parse_mesh(opt: ExaOptions, data: dict):

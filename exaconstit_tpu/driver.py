@@ -170,7 +170,13 @@ class MechSystem:
             conn = np.concatenate(
                 [conn, np.tile(conn[:1], (ne_pad - ne_real, 1))], axis=0)
         self.conn_pad = jnp.asarray(conn)
-        if device_mesh is not None:
+        # Pre-placing the closed-over constants avoids a resharding per
+        # call — but a jit may only close over process-local arrays, so
+        # multi-process (jax.distributed) runs leave them as host
+        # constants and let the partitioner place them.
+        _place_consts = (device_mesh is not None
+                         and jax.process_count() == 1)
+        if _place_consts:
             self.conn_pad = jax.device_put(self.conn_pad, self._shard_e)
             self.elem_mask = jax.device_put(self.elem_mask, self._shard_r)
 
@@ -217,7 +223,7 @@ class MechSystem:
             return NamedSharding(
                 device_mesh, PartitionSpec(*([None] * (ndim - 1) + ["elems"])))
 
-        if device_mesh is not None:
+        if _place_consts:
             self.conn_T = jax.device_put(self.conn_T, shard_cm(2))
 
         def constrain_cm(x):
@@ -867,7 +873,8 @@ class Simulation:
             from .mesh.mfem_io import read_mfem_mesh
             self.mesh = read_mfem_mesh(opt.abspath(opt.mesh_file),
                                        ref_levels=opt.ser_ref_levels +
-                                       opt.par_ref_levels)
+                                       opt.par_ref_levels,
+                                       order=opt.order)
 
         props = np.loadtxt(opt.abspath(opt.props_file)).reshape(-1)
         assert props.size == opt.nProps
@@ -884,8 +891,46 @@ class Simulation:
                 temp_k=opt.temp_k)
         else:
             self.model = build_model(opt, props)
-        self.system = MechSystem(opt, self.mesh, self.model,
-                                 device_mesh=device_mesh)
+        # ---- system selection (domain decomposition) ----
+        # Every reference run is domain-decomposed (ParMesh,
+        # mechanics_driver.cpp:312-315).  With >1 device the production
+        # default is the slab halo-exchange partition (O(surface) comm
+        # per matvec, parallel/slab_system.py); replicated-node sharding
+        # is the fallback for configurations the slab path does not
+        # cover (non-axis-ordered meshes, non-PCG Krylov, UMAT).
+        mode = getattr(opt, "parallel_mode", "auto")
+        system = None
+        self.parallel_mode = "single"
+        # Slab is single-controller for now: its host-side BC/update path
+        # round-trips local node blocks through numpy, which requires the
+        # arrays to be process-addressable.  Multi-process runs
+        # (jax.distributed) use the replicated-node path, whose host
+        # touchpoints are fully-replicated arrays (legal to fetch from
+        # every process).
+        if device_mesh is not None and mode in ("auto", "slab") \
+                and jax.process_count() == 1 \
+                and opt.mech_type == MechType.EXACMECH \
+                and opt.solver == KrylovSolver.PCG:
+            from .parallel.slab_system import SlabMechSystem
+            try:
+                system = SlabMechSystem(opt, self.mesh, self.model,
+                                        device_mesh)
+                self.parallel_mode = "slab"
+            except ValueError as e:
+                if mode == "slab":
+                    raise
+                print(f"slab partition unavailable ({e}); using "
+                      "replicated-node element sharding")
+        elif device_mesh is not None and mode == "slab":
+            raise ValueError(
+                "Solvers.parallel_mode = 'slab' requires an ExaCMech "
+                "material and the PCG Krylov solver")
+        if system is None:
+            system = MechSystem(opt, self.mesh, self.model,
+                                device_mesh=device_mesh)
+            if device_mesh is not None:
+                self.parallel_mode = "replicated"
+        self.system = system
         fes = self.system.fes
         nq = fes.nqpts
 
@@ -1241,13 +1286,22 @@ def _euler_to_quat(euler):
 
 
 def run_simulation(toml_path: str, workdir: str | None = None,
-                   verbose: bool = True):
+                   verbose: bool = True, device_mesh=None):
     opt = parse_options(toml_path)
     # Solvers.precision = "f32" switches the stack to native f32 for
     # throughput runs (the EXACONSTIT_TPU_PRECISION env var, applied at
     # import, takes priority if set explicitly).
     if "EXACONSTIT_TPU_PRECISION" not in os.environ:
         jax.config.update("jax_enable_x64", opt.precision != "f32")
-    sim = Simulation(opt, workdir=workdir)
+    # domain decomposition over all visible devices by default (the
+    # reference always ParMesh-partitions across ranks)
+    if device_mesh is None and opt.parallel_mode != "single" \
+            and len(jax.devices()) > 1:
+        from .parallel.sharding import make_device_mesh
+        device_mesh = make_device_mesh()
+        if verbose:
+            print(f"domain decomposition over {len(jax.devices())} devices"
+                  f" (Solvers.parallel_mode = {opt.parallel_mode})")
+    sim = Simulation(opt, workdir=workdir, device_mesh=device_mesh)
     sim.run(verbose=verbose)
     return sim

@@ -21,17 +21,21 @@ from ..utils import tensors as tn
 def element_average(sim, qf):
     """(ne, nq, k) point-major quadrature field -> (ne_real, k) averages."""
     sysm = sim.system
+    ne = sysm.fes.num_elems
     el_x = _el_x_pm(sim)
+    qf = jnp.asarray(qf)[:ne]
     wts = ops.quad_point_volumes(el_x, sysm.dshape, sysm.qwts)
     avg = jnp.einsum("eq,eqk->ek", wts, qf) / jnp.sum(wts, axis=1)[:, None]
-    return np.asarray(avg)[:sim.system.fes.num_elems]
+    return np.asarray(avg)
 
 
 def _el_x_pm(sim):
-    """Gathered element coords (ne, nen, 3), independent of the system's
-    device layout (vis runs host-side once per vis_steps)."""
+    """Gathered element coords (ne_real, nen, 3) in the global element
+    order, independent of the system's device layout (vis runs host-side
+    once per vis_steps, so a plain numpy gather is fine)."""
     sysm = sim.system
-    return sysm._gather(jnp.asarray(sysm.from_node(sim.x_cur)))
+    x = np.asarray(sysm.from_node(sim.x_cur))
+    return jnp.asarray(x[np.asarray(sysm.fes.conn)])
 
 
 def compute_element_fields(sim, light_up=False):

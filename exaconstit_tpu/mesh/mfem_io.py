@@ -1,16 +1,25 @@
-"""MFEM v1.0 mesh file reader (linear hexahedra).
+"""MFEM v1.0 mesh file reader (conforming all-hex meshes).
 
 Covers the reference's `Mesh.type = "cubit"`/`"other"` paths
 (src/mechanics_driver.cpp:239-241) for conforming all-hex meshes with
 element attributes (grain ids) and boundary quads with attributes, e.g.
 the output of the reference's scripts/meshing/mesh_generator.cpp.
+Uniform refinement and isoparametric order promotion (p_refinement > 1)
+match the reference's UniformRefinement + SetCurvature treatment of file
+meshes (src/mechanics_driver.cpp:307-311, 334-340).
+
+Supported: MFEM v1.0 ASCII, 3-D, hexahedral elements (geometry type 5),
+quad boundary elements (geometry type 3), any element/boundary
+attributes.  Unsupported (loud error): other element geometries
+(tet/wedge/pyramid), NURBS/curved `nodes` sections, non-conforming
+meshes.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .voxel import HexMesh
+from .voxel import HexMesh, lobatto_points
 
 # MFEM local vertex numbering for hexes: bottom quad CCW, then top quad.
 # Our lexicographic order-1 local ordering is
@@ -20,14 +29,36 @@ from .voxel import HexMesh
 _MFEM_TO_LEX = np.array([0, 1, 3, 2, 4, 5, 7, 6])
 
 
-def read_mfem_mesh(path: str, ref_levels: int = 0) -> HexMesh:
+_GEOM_NAMES = {0: "point", 1: "segment", 2: "triangle", 3: "quad",
+               4: "tetrahedron", 5: "hexahedron", 6: "wedge", 7: "pyramid"}
+
+
+def read_mfem_mesh(path: str, ref_levels: int = 0,
+                   order: int = 1) -> HexMesh:
+    """Read an MFEM v1.0 hex mesh; optionally refine and promote order.
+
+    ``order`` > 1 places Gauss-Lobatto isoparametric nodes on each
+    (tri-linearly mapped) hex, deduplicated across shared faces/edges —
+    the equivalent of the reference's higher-order H1 space on a file
+    mesh (p_refinement, src/mechanics_driver.cpp:334-340).
+    """
     with open(path) as f:
         lines = [ln.strip() for ln in f]
     i = 0
+    if lines and lines[0].startswith("MFEM mesh v1."):
+        if lines[0] not in ("MFEM mesh v1.0", "MFEM mesh v1.1"):
+            raise ValueError(
+                f"unsupported MFEM mesh format '{lines[0]}' in {path}: "
+                "only ASCII v1.0/v1.1 conforming meshes are supported")
 
     def seek(tag):
         nonlocal i
         while i < len(lines) and lines[i] != tag:
+            if lines[i] == "nodes":
+                raise ValueError(
+                    f"{path} has a 'nodes' (curved/high-order geometry) "
+                    "section, which this reader does not support; supply "
+                    "the linear mesh and use Mesh.p_refinement instead")
             i += 1
         if i >= len(lines):
             raise ValueError(f"section {tag} not found in {path}")
@@ -35,7 +66,8 @@ def read_mfem_mesh(path: str, ref_levels: int = 0) -> HexMesh:
 
     seek("dimension")
     dim = int(lines[i]); i += 1
-    assert dim == 3, "only 3D meshes supported"
+    if dim != 3:
+        raise ValueError(f"{path} is {dim}-D; only 3-D meshes supported")
 
     seek("elements")
     ne = int(lines[i]); i += 1
@@ -44,7 +76,13 @@ def read_mfem_mesh(path: str, ref_levels: int = 0) -> HexMesh:
     for e in range(ne):
         parts = lines[i].split(); i += 1
         attrs[e] = int(parts[0])
-        assert int(parts[1]) == 5, "only hexahedra supported"  # geom type 5
+        geom = int(parts[1])
+        if geom != 5:
+            raise ValueError(
+                f"element {e} in {path} has geometry type {geom} "
+                f"({_GEOM_NAMES.get(geom, 'unknown')}); only hexahedral "
+                "meshes are supported (re-mesh with hex elements, e.g. "
+                "Neper -format msh + neper_v4_mesh.py, or mesh_generator)")
         verts = np.array([int(p) for p in parts[2:10]])
         conn[e] = verts[np.argsort(_MFEM_TO_LEX)]  # reorder to lex local
 
@@ -54,7 +92,12 @@ def read_mfem_mesh(path: str, ref_levels: int = 0) -> HexMesh:
     for b in range(nb):
         parts = lines[i].split(); i += 1
         attr = int(parts[0])
-        # geom type 3 = quad
+        geom = int(parts[1])
+        if geom != 3:
+            raise ValueError(
+                f"boundary element {b} in {path} has geometry type {geom} "
+                f"({_GEOM_NAMES.get(geom, 'unknown')}); only quad boundary "
+                "elements are supported")
         verts = [int(p) for p in parts[2:6]]
         bdr.setdefault(attr, set()).update(verts)
 
@@ -74,11 +117,80 @@ def read_mfem_mesh(path: str, ref_levels: int = 0) -> HexMesh:
                    elem_attr=attrs, bdr_nodes=bdr_nodes, order=1)
     for _ in range(ref_levels):
         mesh = refine_hex_mesh(mesh)
+    if order > 1:
+        mesh = promote_mesh_order(mesh, order)
     return mesh
 
 
 # lexicographic local corner (i, j, k) offsets for a linear hex
 _LEX = np.array([[i, j, k] for k in (0, 1) for j in (0, 1) for i in (0, 1)])
+
+
+def promote_mesh_order(mesh: HexMesh, p: int) -> HexMesh:
+    """Linear hex mesh -> order-``p`` isoparametric nodal mesh.
+
+    New nodes sit at the tri-linear image of the Gauss-Lobatto lattice of
+    each element (the reference's H1 space of order p on a straight-sided
+    mesh).  Shared edge/face nodes are deduplicated by their (vertex id,
+    barycentric weight) signature, so conforming neighbors agree exactly.
+    Boundary-attribute node sets extend to new nodes supported entirely
+    on that attribute's vertices (the refine_hex_mesh rule).
+    """
+    if mesh.order != 1:
+        raise ValueError("promote_mesh_order expects a linear mesh")
+    if p == 1:
+        return mesh
+    conn = np.asarray(mesh.conn)
+    coords = np.asarray(mesh.coords)
+    ne = conn.shape[0]
+    gll = lobatto_points(p)
+    n1 = p + 1
+
+    # tri-linear vertex weights at each lattice point (lex vertex order)
+    lat = np.array([[x, y, z] for z in gll for y in gll for x in gll])
+    wts = np.empty((n1 ** 3, 8))
+    for a, (dx, dy, dz) in enumerate(_LEX):
+        wts[:, a] = (np.where(dx, lat[:, 0], 1 - lat[:, 0])
+                     * np.where(dy, lat[:, 1], 1 - lat[:, 1])
+                     * np.where(dz, lat[:, 2], 1 - lat[:, 2]))
+
+    new_nodes = {}
+    new_coords = [coords]
+    nv = coords.shape[0]
+    fine_conn = np.empty((ne, n1 ** 3), dtype=np.int64)
+    node_support = {}  # new id -> set of parent vertex ids
+
+    for e in range(ne):
+        verts = conn[e]
+        for a in range(n1 ** 3):
+            w = wts[a]
+            nz = w > 1e-14
+            if nz.sum() == 1 and abs(w[nz][0] - 1.0) < 1e-12:
+                fine_conn[e, a] = verts[int(np.argmax(w))]
+                continue
+            key = tuple(sorted(
+                (int(verts[b]), round(float(w[b]), 12))
+                for b in range(8) if nz[b]))
+            nid = new_nodes.get(key)
+            if nid is None:
+                nid = nv + len(new_nodes)
+                new_nodes[key] = nid
+                new_coords.append(
+                    (w[None, :] @ coords[verts]).reshape(1, 3))
+                node_support[nid] = {int(verts[b]) for b in range(8)
+                                     if nz[b]}
+            fine_conn[e, a] = nid
+
+    all_coords = np.concatenate(new_coords, axis=0)
+    bdr_nodes = {}
+    for attr, ids in mesh.bdr_nodes.items():
+        s = set(int(i) for i in np.asarray(ids))
+        extra = [nid for nid, sup in node_support.items()
+                 if sup <= s]
+        bdr_nodes[attr] = np.array(sorted(s | set(extra)), dtype=np.int64)
+    return HexMesh(coords=all_coords, conn=fine_conn.astype(np.int32),
+                   elem_attr=np.asarray(mesh.elem_attr),
+                   bdr_nodes=bdr_nodes, order=p)
 
 
 def refine_hex_mesh(mesh: HexMesh) -> HexMesh:

@@ -68,6 +68,12 @@ class SlabMechSystem(MechSystem):
         if opt.solver != KrylovSolver.PCG:
             raise ValueError("slab mode supports the PCG Krylov path; "
                              "set Solvers.Krylov.solver = 'PCG'")
+        # slab keeps point-major per-shard layouts; the inherited host
+        # methods dispatch on these flags (no CM flat vectors here, and
+        # the generic _put_* helpers must be no-ops — slab device_puts
+        # explicitly with its own shard)
+        self.use_cm = False
+        self._shard_r = self._shard_e = None
 
         AXIS = device_mesh.axis_names[0]
         S = device_mesh.devices.size
@@ -395,6 +401,38 @@ class SlabMechSystem(MechSystem):
 
         self._max_deff = jax.jit(lambda v, x, dt: max_deff_sm(
             v, x, self.elem_mask, self._conn_l, dt))
+
+    # ---- layout adapters (Simulation-facing; see MechSystem) ---------------
+    # The device-resident contract is the slab layout: nodal fields
+    # (S*(n_loc+1), c) local blocks, element/qpt fields (S*ne_per, ...)
+    # in partition order.  Host code still converses in the reference's
+    # global point-major shapes.
+
+    def to_node(self, arr):
+        return self.to_local_nodes(np.asarray(arr))
+
+    def from_node(self, dev):
+        return self.to_global_nodes(dev)
+
+    def to_ess(self, mask):
+        """Global (nn, 3) bool mask -> flat local device mask."""
+        return self.to_local_nodes(np.asarray(mask)).reshape(-1)
+
+    def to_state(self, pm):
+        """Global (ne[_pad], nq, k) -> sharded (S*ne_per, nq, k)."""
+        return self.permute_elems(np.asarray(pm)[:self.fes.num_elems])
+
+    def from_state(self, dev):
+        """Sharded (S*ne_per, nq, k) -> global np (ne, nq, k)."""
+        return self.unpermute_elems(dev)
+
+    to_stress = to_state
+    from_stress = from_state
+
+    def zeros_stress(self, dtype=None):
+        return jax.device_put(
+            jnp.zeros((self.ne_pad, self.fes.ref.nqpts, 6), dtype=dtype),
+            self._shard)
 
     # ---- layout conversions (host) ------------------------------------------
     def to_local_nodes(self, tvec_global):

@@ -62,7 +62,11 @@ def _voce_gdots_slope_cm(kin, taus, g):
     Mirrors kinetics.VocePL.gdots_slope exactly (f32 exp cap and linear
     continuation included) for taus (S, N), g (N,) hardness (CRSS).
     """
-    xn = 1.0 / kin.xm
+    # python-float constants: kin fields are numpy f64 scalars (unpacked
+    # from the props array) and would silently promote the f32 kernel
+    # math to f64, which Mosaic cannot lower
+    xn = float(1.0 / kin.xm)
+    gdot0 = float(kin.gdot0)
     cap = 80.0 if taus.dtype == jnp.float64 else 25.0
     tau_abs = jnp.abs(taus)
     ratio = tau_abs / g[None]
@@ -71,7 +75,7 @@ def _voce_gdots_slope_cm(kin, taus, g):
     log_gdot = xn * jnp.log(ratio_safe)
     capped = jnp.minimum(log_gdot, cap)
     over = jnp.maximum(log_gdot - cap, 0.0)
-    mag_cap = kin.gdot0 * jnp.exp(capped)
+    mag_cap = gdot0 * jnp.exp(capped)
     mag = mag_cap * (1.0 + over)
     gd = jnp.where(big, mag, 0.0)
     slope_mag = jnp.where(log_gdot < cap, xn * mag, xn * mag_cap)
@@ -349,20 +353,26 @@ def _dogleg_pallas_call(kin, C, P, Q, d_vecd, w_sm, e_n, q_n, g, dts, x0,
         return pl.BlockSpec((c0, c1, tile), lambda i: (0, 0, i))
 
     kernel = partial(_dogleg_kernel, kin, C, P, Q, tol, max_iter)
-    x, J, ok, iters = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[spec(5), spec(3), spec(5), spec(4), spec(1), spec(1),
-                  spec(8), spec(1)],
-        out_specs=[spec(8), spec3(8, 8), spec(1), spec(1)],
-        out_shape=[
-            jax.ShapeDtypeStruct((8, Np), dtype),
-            jax.ShapeDtypeStruct((8, 8, Np), dtype),
-            jax.ShapeDtypeStruct((1, Np), jnp.int32),
-            jax.ShapeDtypeStruct((1, Np), jnp.int32),
-        ],
-        interpret=interpret,
-    )(d_p, w_p, e_p, q_p, g_p, dts_p, x0_p, act_p)
+    # Trace the kernel body with x64 OFF: under x64, python scalar
+    # literals (the 0.0/1.0 in every jnp.where) enter the jaxpr as weak
+    # f64[] constants, which Mosaic refuses to lower ("Only arrays with
+    # 32-bit element types can be converted to scalars").  All operands
+    # are explicit f32/int32, so disabling x64 only affects literals.
+    with jax.enable_x64(False):
+        x, J, ok, iters = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec(5), spec(3), spec(5), spec(4), spec(1), spec(1),
+                      spec(8), spec(1)],
+            out_specs=[spec(8), spec3(8, 8), spec(1), spec(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((8, Np), dtype),
+                jax.ShapeDtypeStruct((8, 8, Np), dtype),
+                jax.ShapeDtypeStruct((1, Np), jnp.int32),
+                jax.ShapeDtypeStruct((1, Np), jnp.int32),
+            ],
+            interpret=interpret,
+        )(d_p, w_p, e_p, q_p, g_p, dts_p, x0_p, act_p)
     return (x[:, :N], J[:, :, :N], ok[0, :N] > 0, iters[0, :N])
 
 

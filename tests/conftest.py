@@ -24,3 +24,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compile cache: the regression cases share mesh/program
+# shapes, so everything after the first case (and every rerun of the
+# suite) hits the cache instead of recompiling.  Local to this machine —
+# entries embed host CPU features.
+_cache = os.environ.get("EXACONSTIT_TEST_CACHE",
+                        os.path.expanduser("~/.cache/exaconstit_jax"))
+if _cache != "0":
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

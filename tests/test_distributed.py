@@ -1,0 +1,80 @@
+"""Two-process jax.distributed run of the real CLI.
+
+The analog of the reference's ``mpirun -np 2 mechanics -opt case.toml``
+harness (test/test_mechanics.py:38): two coordinated processes, each
+with 4 virtual CPU devices, run the same TOML through
+``exaconstit_tpu.cli`` (which calls jax.distributed.initialize from the
+cluster env) and must produce the single-process stress history.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOML = os.path.join(REPO, "tests", "data", "tiny_voce.toml")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _env(nproc, pid, port, ndev):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU tunnel in children
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(f for f in env.get("XLA_FLAGS", "").split()
+                     if "host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = \
+        f"{flags} --xla_force_host_platform_device_count={ndev}".strip()
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if nproc > 1:
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = str(nproc)
+        env["JAX_PROCESS_ID"] = str(pid)
+    return env
+
+
+def _launch(workdir, env):
+    os.makedirs(workdir, exist_ok=True)
+    return subprocess.Popen(
+        [sys.executable, "-m", "exaconstit_tpu.cli", "-opt", TOML, "-q"],
+        cwd=workdir, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+
+
+def test_two_process_distributed_matches_single(tmp_path):
+    port = _free_port()
+
+    procs = []
+    for pid in range(2):
+        wd = tmp_path / f"proc{pid}"
+        procs.append(_launch(str(wd), _env(2, pid, port, 4)))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+
+    # single-process reference run (8 local devices, same replicated path)
+    wd1 = tmp_path / "single"
+    p1 = _launch(str(wd1), _env(1, 0, port, 8))
+    out1, _ = p1.communicate(timeout=900)
+    assert p1.returncode == 0, f"single-process run failed:\n{out1[-4000:]}"
+
+    a2 = np.atleast_2d(np.loadtxt(tmp_path / "proc0" /
+                                  "tiny_voce_stress.txt"))
+    a1 = np.atleast_2d(np.loadtxt(wd1 / "tiny_voce_stress.txt"))
+    assert a2.shape == a1.shape == (2, 6)
+    np.testing.assert_allclose(a2, a1, rtol=1e-6, atol=1e-12)
+    # both workers wrote identical histories (SPMD single-controller)
+    a2b = np.atleast_2d(np.loadtxt(tmp_path / "proc1" /
+                                   "tiny_voce_stress.txt"))
+    np.testing.assert_allclose(a2b, a2, rtol=0, atol=0)

@@ -71,6 +71,56 @@ def test_read_and_refine_unit_hex(tmp_path):
     assert m2.num_elems == 64 and m2.num_nodes == 125
 
 
+def test_order_promotion_matches_voxel(tmp_path):
+    """read_mfem_mesh(order=p) reproduces the voxel generator's order-p
+    node lattice on a uniform grid, and the FE gradient of a linear field
+    is exact on the promoted mesh."""
+    import jax.numpy as jnp
+    from exaconstit_tpu.fem.geometry import grad_calc, jacobians
+    from exaconstit_tpu.fem.space import FESpace
+    from exaconstit_tpu.mesh.mfem_io import read_mfem_mesh
+    from exaconstit_tpu.mesh.voxel import make_cartesian_mesh
+
+    p = tmp_path / "unit.mesh"
+    p.write_text(UNIT_HEX_MESH)
+    for order in (2, 3):
+        m = read_mfem_mesh(str(p), ref_levels=1, order=order)
+        ref = make_cartesian_mesh([1, 1, 1], [1.0] * 3, order=order,
+                                  ref_levels=1)
+        assert m.num_nodes == ref.num_nodes
+        got = np.array(sorted(map(tuple, np.round(m.coords, 12))))
+        want = np.array(sorted(map(tuple, np.round(ref.coords, 12))))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        for attr in range(1, 7):
+            assert len(m.bdr_nodes[attr]) == len(ref.bdr_nodes[attr])
+
+    # analytic-gradient check (grad_test.cpp analog) on the order-2 mesh
+    m = read_mfem_mesh(str(p), ref_levels=1, order=2)
+    fes = FESpace.create(m)
+    A = np.array([[2.0, 3.0, 4.0], [4.0, 2.0, 3.0], [3.0, 4.0, 2.0]])
+    u = m.coords @ A.T
+    el_u = jnp.asarray(u[np.asarray(fes.conn)])
+    el_x = jnp.asarray(m.coords[np.asarray(fes.conn)])
+    J = jacobians(el_x, jnp.asarray(fes.ref.dshape))
+    g = np.asarray(grad_calc(el_u, jnp.asarray(fes.ref.dshape), J))
+    np.testing.assert_allclose(g, np.broadcast_to(A, g.shape), atol=1e-11)
+
+
+def test_reader_rejects_non_hex(tmp_path):
+    from exaconstit_tpu.mesh.mfem_io import read_mfem_mesh
+
+    bad = UNIT_HEX_MESH.replace("7 5 0 1 2 3 4 5 6 7",
+                                "7 4 0 1 2 4")
+    f = tmp_path / "tet.mesh"
+    f.write_text(bad)
+    try:
+        read_mfem_mesh(str(f))
+    except ValueError as e:
+        assert "hexahedral" in str(e) and "tetrahedron" in str(e)
+    else:
+        raise AssertionError("tet mesh should be rejected loudly")
+
+
 NEPER_GMSH = """$MeshFormat
 2.2 0 8
 $EndMeshFormat

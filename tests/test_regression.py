@@ -121,7 +121,10 @@ def test_const_strain_rate_regression(tmp_path, case, golden, tol):
 
 @pytest.mark.parametrize("case,golden,tol", MTSDD_CASES)
 def test_mtsdd_regression(tmp_path, case, golden, tol):
-    nsteps = None if FULL else 4
+    # 2 default steps: the pure-f64 MTSDD point solve is the suite's
+    # most expensive per-step cost on the single-core CPU runner; the
+    # full ramp runs under EXACONSTIT_FULL_REGRESSION=1
+    nsteps = None if FULL else 2
     opt, sim = run_case(tmp_path, case, nsteps)
     compare_stress(tmp_path, opt, golden, rel_tol=tol)
 

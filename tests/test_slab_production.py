@@ -1,0 +1,76 @@
+"""Production-path domain decomposition: the full Simulation driver
+(BC epochs, Newton, averages, state swap) running on the slab
+halo-exchange system must reproduce the single-device run.
+
+This is the TPU analog of the reference running every case under
+``mpirun -np 2`` (test/test_mechanics.py:38): same TOML, same driver
+code path, decomposed vs not, compared well below the golden bar.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+DATA = "/root/reference/test/data"
+
+
+def _run(tmp_path, name, device_mesh, nsteps):
+    from exaconstit_tpu.driver import Simulation, parse_options
+
+    opt = parse_options(os.path.join(DATA, "voce_full.toml"))
+    wd = tmp_path / name
+    wd.mkdir()
+    sim = Simulation(opt, workdir=str(wd), device_mesh=device_mesh)
+    sim.nsteps = min(sim.nsteps, nsteps)
+    sim.run(verbose=False)
+    return sim, wd
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_voce_full_through_slab_matches_single(tmp_path):
+    from exaconstit_tpu.parallel.sharding import make_device_mesh
+
+    nsteps = 4
+    sim1, wd1 = _run(tmp_path, "single", None, nsteps)
+    dmesh = make_device_mesh(8)
+    sim8, wd8 = _run(tmp_path, "slab", dmesh, nsteps)
+    assert sim8.parallel_mode == "slab"  # auto selection picked the halo path
+
+    # device state agrees to solver roundoff
+    s1 = sim1.system.from_stress(sim1.stress)
+    s8 = sim8.system.from_stress(sim8.stress)
+    np.testing.assert_allclose(s8, s1[: s8.shape[0]], rtol=2e-11,
+                               atol=1e-13)
+    st1 = sim1.system.from_state(sim1.state)
+    st8 = sim8.system.from_state(sim8.state)
+    st1 = st1[: st8.shape[0]].copy()
+    st8 = st8.copy()
+    st1[:, :, 3] = 0.0  # NFEVAL diagnostic: warm-start/iteration counts
+    st8[:, :, 3] = 0.0
+    np.testing.assert_allclose(st8, st1, rtol=5e-10, atol=1e-12)
+    np.testing.assert_allclose(sim8.system.from_node(sim8.v),
+                               sim1.system.from_node(sim1.v),
+                               rtol=0.0, atol=1e-12)
+
+    # the appended avg-stress files are byte-format identical outputs
+    a1 = np.loadtxt(wd1 / sim1.opt.avg_stress_fname)
+    a8 = np.loadtxt(wd8 / sim8.opt.avg_stress_fname)
+    np.testing.assert_allclose(a8, a1, rtol=1e-5, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_parallel_mode_replicated_knob(tmp_path):
+    """Solvers.parallel_mode = 'replicated' forces the element-sharded
+    replicated-node system even when the slab path is available."""
+    from exaconstit_tpu.driver import Simulation, parse_options
+    from exaconstit_tpu.parallel.sharding import make_device_mesh
+
+    opt = parse_options(os.path.join(DATA, "voce_full.toml"))
+    opt.parallel_mode = "replicated"
+    sim = Simulation(opt, workdir=str(tmp_path),
+                     device_mesh=make_device_mesh(8))
+    assert sim.parallel_mode == "replicated"
+    assert type(sim.system).__name__ == "MechSystem"

@@ -67,12 +67,11 @@ def test_slab_matches_dense(problem):
 
     dmesh = make_device_mesh(8)
     slab = SlabMechSystem(opt, mesh, model, dmesh)
-    v_l = slab.to_local_nodes(v0)
-    x_l = slab.to_local_nodes(mesh.coords)
-    ess_l = slab.to_local_nodes(ess)
-    st_l = slab.permute_elems(state)
+    v_l = slab.to_node(v0)
+    x_l = slab.to_node(mesh.coords)
+    st_l = slab.to_state(state)
     vs, stress_s, state_s, conv_s, it_s, _ = slab.newton_solve(
-        v_l, x_l, st_l, dt, np.asarray(ess_l), verbose=False)
+        v_l, x_l, st_l, dt, ess, verbose=False)
     assert conv_s
 
     # converged velocity matches everywhere
@@ -111,10 +110,9 @@ def test_slab_solve_init_matches_dense(problem):
 
     dmesh = make_device_mesh(8)
     slab = SlabMechSystem(opt, mesh, model, dmesh)
-    out_s = slab.solve_init(slab.to_local_nodes(v0),
-                            slab.to_local_nodes(v_new),
-                            slab.to_local_nodes(mesh.coords),
-                            slab.permute_elems(state), dt,
-                            np.asarray(slab.to_local_nodes(ess)))
+    out_s = slab.solve_init(slab.to_node(v0),
+                            slab.to_node(v_new),
+                            slab.to_node(mesh.coords),
+                            slab.to_state(state), dt, ess)
     np.testing.assert_allclose(slab.to_global_nodes(out_s),
                                dense.from_node(out_d), atol=1e-11)
