@@ -130,6 +130,9 @@ class EvptnModel:
     # voce_full golden gap is a 0.6% difference in C (err(n) = F - C/n,
     # scripts/probe_step22h.py).  Calibrated by
     # scripts/calibrate_h_blend.py; applies to both engines.
+    # NOTE: only active for the production combination (h_order="after",
+    # h_gd_source="converged"); __post_init__ rejects blends with the
+    # other knobs, where gd_begin already IS the update source.
     h_gd_blend: float = 1.0
     # lattice-frame transformation of the applied (d, w) inside a substep
     # (scheme identification; vmap engine only):
@@ -175,6 +178,16 @@ class EvptnModel:
     # "coupled" -> IFT over the coupled (e, xi, h) system (the exact
     #              derivative of hardness_mode="coupled")
     tangent_mode: str = "lagged"
+
+    def __post_init__(self):
+        if self.h_gd_blend != 1.0 and (self.h_order == "before"
+                                       or self.h_gd_source != "converged"):
+            raise ValueError(
+                "h_gd_blend only applies to the production hardness map "
+                "(h_order='after', h_gd_source='converged'); with "
+                f"h_order={self.h_order!r} h_gd_source="
+                f"{self.h_gd_source!r} the blend would be silently "
+                "ignored")
 
     @property
     def nslip(self):

@@ -561,25 +561,25 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
                                            active0=active)
             return x, ok, iters
 
+        # begin-of-substep resolved stresses for the blend: e_c is
+        # constant across the stagger loop, so compute once outside it
+        # rather than relying on XLA to hoist from the loop body
+        PC_np = np.asarray(model.slip.P) @ np.asarray(model.elast.C_dev)
+        blend = float(model.h_gd_blend)
+        taus_b = const_mm_cm(PC_np, e_c) if blend != 1.0 else None
+
         def stag_body(_, carry):
             x, h_used, h, it_tot, conv = carry
             h_used = h
             x, ok, iters = solve_exi(h)
             if model.h_per_substep:
                 # gdots at the solution (with the hardness the solve saw)
-                C = jnp.asarray(np.asarray(model.elast.C_dev), dtype)
-                P = jnp.asarray(np.asarray(model.slip.P), dtype)
-                taus = const_mm_cm(np.asarray(model.slip.P) @
-                                   np.asarray(model.elast.C_dev), x[:5])
+                taus = const_mm_cm(PC_np, x[:5])
                 gd = _kinetics_eval(model, taus, h, temp_k, False)
-                blend = float(getattr(model, "h_gd_blend", 1.0))
                 if blend != 1.0:
                     # blend toward the begin-of-substep slip rates: a
                     # continuous truncation-constant knob for identifying
                     # the reference's per-substep map (see EvptnModel)
-                    taus_b = const_mm_cm(np.asarray(model.slip.P) @
-                                         np.asarray(model.elast.C_dev),
-                                         e_c)
                     gd_b = _kinetics_eval(model, taus_b, h, temp_k, False)
                     gd = blend * gd + (1.0 - blend) * gd_b
                 h = kin.update_h(h_c.T, gd.T, dt_sub[:, None], temp_k).T

@@ -58,6 +58,11 @@ def main():
     def step(model, st, dt, n=None):
         if n is None:
             nsub = model.substep_counts(dt)
+            if nsub is None:
+                raise SystemExit(
+                    "model has substepping disabled (substep_cap <= 0); "
+                    "this calibration probes the per-substep truncation "
+                    "constant, so pass an explicit n or enable the cap")
             nsub = jnp.full((npts,), nsub, jnp.int32)
         else:
             nsub = jnp.full((npts,), n, jnp.int32)

@@ -39,21 +39,23 @@ def test_voce_full_through_slab_matches_single(tmp_path):
     sim8, wd8 = _run(tmp_path, "slab", dmesh, nsteps)
     assert sim8.parallel_mode == "slab"  # auto selection picked the halo path
 
-    # device state agrees to solver roundoff
+    # device state agrees to the Krylov stopping tolerance: the two
+    # partitions run independent PCG solves (krylov_rel_tol = 1e-7), so
+    # the iterates differ at the truncation level, not roundoff
     s1 = sim1.system.from_stress(sim1.stress)
     s8 = sim8.system.from_stress(sim8.stress)
-    np.testing.assert_allclose(s8, s1[: s8.shape[0]], rtol=2e-11,
-                               atol=1e-13)
+    np.testing.assert_allclose(s8, s1[: s8.shape[0]], rtol=1e-6,
+                               atol=1e-9)
     st1 = sim1.system.from_state(sim1.state)
     st8 = sim8.system.from_state(sim8.state)
     st1 = st1[: st8.shape[0]].copy()
     st8 = st8.copy()
     st1[:, :, 3] = 0.0  # NFEVAL diagnostic: warm-start/iteration counts
     st8[:, :, 3] = 0.0
-    np.testing.assert_allclose(st8, st1, rtol=5e-10, atol=1e-12)
+    np.testing.assert_allclose(st8, st1, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(sim8.system.from_node(sim8.v),
                                sim1.system.from_node(sim1.v),
-                               rtol=0.0, atol=1e-12)
+                               rtol=0.0, atol=1e-9)
 
     # the appended avg-stress files are byte-format identical outputs
     a1 = np.loadtxt(wd1 / sim1.opt.avg_stress_fname)
