@@ -383,6 +383,9 @@ def _calibrated_kin(kin, row):
     if len(row) > 4:
         upd["s"] = kin.s * row[4]
         upd["c1"] = kin.c1 * row[5]
+    if len(row) > 6:  # activation-profile exponents (knee curvature)
+        upd["p"] = row[6]
+        upd["q"] = row[7]
     return _dc.replace(kin, **upd)
 
 

@@ -322,13 +322,13 @@ class KMBalD:
             x = jnp.clip(tau_eff / g, 0.0, 1.0)
         # thermally-activated branch: gam_wo * exp(-(c1 mu / T)(1 - x^p)^q)
         c_t = self.c1 * self.mu_ref / temp_k
-        if self.p == 1.0:
+        if isinstance(self.p, float) and self.p == 1.0:
             xp = x
         else:  # NaN-safe power at x = 0
             pos = x > 1e-12
             xp = jnp.where(pos, jnp.power(jnp.where(pos, x, 1.0), self.p), 0.0)
         act = jnp.maximum(1.0 - xp, 0.0)
-        if self.q == 1.0:
+        if isinstance(self.q, float) and self.q == 1.0:
             actq = act
         else:
             pos = act > 1e-12
@@ -372,7 +372,7 @@ class KMBalD:
         xr = tau_eff / norm
         x = jnp.clip(xr, 0.0, 1.0)
         c_t = self.c1 * self.mu_ref / temp_k
-        if self.p == 1.0:
+        if isinstance(self.p, float) and self.p == 1.0:
             xp, dxp_dx = x, jnp.ones_like(x)
         else:
             pos = x > 1e-12
@@ -381,7 +381,7 @@ class KMBalD:
             dxp_dx = jnp.where(pos, self.p * jnp.power(xs, self.p - 1.0),
                                0.0)
         act = jnp.maximum(1.0 - xp, 0.0)
-        if self.q == 1.0:
+        if isinstance(self.q, float) and self.q == 1.0:
             actq, dactq_dact = act, jnp.ones_like(act)
         else:
             pos = act > 1e-12

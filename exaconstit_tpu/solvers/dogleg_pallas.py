@@ -231,16 +231,33 @@ def _dogleg_kernel(kin, C, P, Q, tol, max_iter,
     r0, J0 = rj(x0)
     done0 = jnp.logical_or(_norm0(r0) < tol, jnp.logical_not(active))
 
+    # NOTE: no jnp.all/jnp.any and no integer-sum reductions in the
+    # kernel — Mosaic lowers bool/scalar reductions through proxies that
+    # re-trace at LOWERING time under the ambient x64 setting, where
+    # jnp.sum(int32) promotes to int64 and reduce_and builds f64
+    # scalars, neither of which Mosaic can lower.  f32 accumulation
+    # stays f32 regardless of x64.
+    def _all_lanes(b):
+        return jnp.sum(jnp.logical_not(b).astype(jnp.float32)) == 0.0
+
+    def _all0(b):  # jnp.all(b, axis=0)
+        return jnp.sum(jnp.logical_not(b).astype(jnp.float32),
+                       axis=0) == 0.0
+
+    # The while carry holds only f32 vectors + the i32 trip counter:
+    # bool (i1) and int vectors in an scf.while carry fail Mosaic's
+    # layout legalization ("failed to legalize operation 'scf.yield'").
     def cond(state):
-        _, _, _, _, it, done, _ = state
+        _, _, _, _, it, doneF, _ = state
         return jnp.logical_and(it < max_iter,
-                               jnp.logical_not(jnp.all(done)))
+                               jnp.sum(1.0 - doneF) > 0.0)
 
     def body(state):
-        x, r, J, delta, it, done, iters = state
+        x, r, J, delta, it, doneF, iters = state
+        done = doneF > 0.5
         p_newton = -_solve8_cm(J, r)
         p_newton = jnp.where(
-            jnp.all(jnp.isfinite(p_newton), axis=0)[None], p_newton,
+            _all0(jnp.isfinite(p_newton))[None], p_newton,
             jnp.zeros_like(p_newton))
         pn_norm = _norm0(p_newton)
 
@@ -272,7 +289,7 @@ def _dogleg_kernel(kin, C, P, Q, tol, max_iter,
         lin = r + cm.mv_cm(J, p)
         pred = phi - 0.5 * jnp.sum(lin * lin, axis=0)
         rho = (phi - phi_trial) / jnp.maximum(pred, tiny)
-        finite = jnp.all(jnp.isfinite(r_trial), axis=0)
+        finite = _all0(jnp.isfinite(r_trial))
         accept = jnp.logical_and(finite, rho > 1e-4)
         step_lane = jnp.logical_and(accept, jnp.logical_not(done))
 
@@ -291,19 +308,20 @@ def _dogleg_kernel(kin, C, P, Q, tol, max_iter,
         delta_new = jnp.where(done, delta, delta_new)
 
         done_new = jnp.logical_or(done, _norm0(r_new) < tol)
-        iters_new = iters + jnp.logical_not(done).astype(jnp.int32)
-        return (x_new, r_new, J_new, delta_new, it + 1, done_new,
-                iters_new)
+        iters_new = iters + (1.0 - doneF)
+        return (x_new, r_new, J_new, delta_new, it + 1,
+                done_new.astype(jnp.float32), iters_new)
 
     N = x0.shape[-1]
     state0 = (x0, r0, J0, jnp.ones((N,), dtype),
-              jnp.asarray(0, jnp.int32), done0, jnp.zeros((N,), jnp.int32))
-    x, r, J, _, _, done, iters = jax.lax.while_loop(cond, body, state0)
+              jnp.asarray(0, jnp.int32), done0.astype(jnp.float32),
+              jnp.zeros((N,), jnp.float32))
+    x, r, J, _, _, doneF, iters = jax.lax.while_loop(cond, body, state0)
 
     x_out[:] = x
     j_out[:] = J
-    ok_out[:] = done[None].astype(jnp.int32)
-    it_out[:] = iters[None]
+    ok_out[:] = (doneF > 0.5)[None].astype(jnp.int32)
+    it_out[:] = iters[None].astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,8 @@ import os
 import sys
 import dataclasses
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 import numpy as np
 
 TOML = "/root/reference/test/data/voce_full.toml"

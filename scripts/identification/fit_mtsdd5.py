@@ -35,7 +35,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 # build the Taylor surrogate on raw file constants; theta carries the
 # whole calibration
@@ -80,7 +81,7 @@ def run_fem_curve(xtal, theta, tag):
     work = tempfile.mkdtemp(prefix=f"fit5_{tag}_")
     t0 = time.time()
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts",
+        [sys.executable, os.path.join(REPO, "scripts", "identification",
                                       "mtsdd_fem_curve.py"), xtal, work,
          str(int(os.environ.get("FIT5_FEM_STEPS", "32")))],
         env=env, capture_output=True, text=True)

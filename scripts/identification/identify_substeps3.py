@@ -4,7 +4,8 @@ Greedy golden tracking on voce_full sweeping the per-point deff cap at
 each dt >= 0.2 step (dt < 0.2 steps use n=1, validated at print floor).
 """
 import json, os, sys, tempfile, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 import numpy as np
 import jax.numpy as jnp
 from exaconstit_tpu.config.options import parse_options

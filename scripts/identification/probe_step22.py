@@ -9,7 +9,8 @@ cheap to iterate.
 """
 import dataclasses as dc
 import os, sys, tempfile, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 import numpy as np
 import jax.numpy as jnp
 import exaconstit_tpu.models.ecmech as ec

@@ -1,7 +1,8 @@
 """Probe round 2 at step 22: signed n-sweep + vmap-engine theta variants."""
 import dataclasses as dc
 import os, sys, tempfile, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 import numpy as np
 import jax.numpy as jnp
 import exaconstit_tpu.models.ecmech as ec

@@ -3,7 +3,8 @@
 (b) h-update gdot-source variants in the FEM solve."""
 import dataclasses as dc
 import os, sys, tempfile, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,7 +1,8 @@
 """Full voce_full replay with per-step signed golden errors (profiling
 the current integration scheme across the whole ramped-dt schedule)."""
 import os, sys, tempfile, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 import numpy as np
 from exaconstit_tpu.config.options import parse_options
 from exaconstit_tpu.driver import Simulation
