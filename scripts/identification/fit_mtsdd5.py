@@ -52,7 +52,7 @@ DATA = "/root/reference/test/data"
 # CUMULATIVE per-round trust region on [ln k1, ln k2, a, b, ln s, ln c1]
 # (the frozen FEM-Taylor offset measurably breaks by |d ln c1| ~ 0.7;
 # each round's total movement stays inside this box)
-TRUST = np.array([0.6, 0.6, 0.3, 0.3, 0.1, 0.3])
+TRUST = np.array([0.6, 0.6, 0.3, 0.3, 0.1, 0.3, 0.15, 0.15])
 STEP_RE = re.compile(
     r"step\s+(\d+)\s+dt=\s*[\d.eE+-]+\s+szz=([+-][\d.eE+-]+)\s+"
     r"ref=([+-][\d.eE+-]+)")
@@ -60,9 +60,12 @@ STEP_RE = re.compile(
 
 def cal_string(xtal, theta):
     th = np.asarray(theta, dtype=float)
-    return (f"{xtal.upper()}:{np.exp(th[0]):.10g},{np.exp(th[1]):.10g},"
-            f"{th[2]:.10g},{th[3]:.10g},{np.exp(th[4]):.10g},"
-            f"{np.exp(th[5]):.10g}")
+    s = (f"{xtal.upper()}:{np.exp(th[0]):.10g},{np.exp(th[1]):.10g},"
+         f"{th[2]:.10g},{th[3]:.10g},{np.exp(th[4]):.10g},"
+         f"{np.exp(th[5]):.10g}")
+    if len(th) > 6:  # activation-profile exponents p, q
+        s += f",{th[6]:.10g},{th[7]:.10g}"
+    return s
 
 
 def parse_fem_log(text):
@@ -97,8 +100,8 @@ def run_fem_curve(xtal, theta, tag):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("xtal", choices=["fcc", "bcc"])
-    ap.add_argument("init", nargs=6, type=float,
-                    help="k1 k2 a b s_scale c1_scale")
+    ap.add_argument("init", nargs="+", type=float,
+                    help="k1 k2 a b s_scale c1_scale [p q]")
     ap.add_argument("--fem-log", default=None)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--lm-iters", type=int, default=12)
@@ -107,12 +110,16 @@ def main():
                          "box (0 pins a component, e.g. to hold the "
                          "classic a=0.5,b=1 exponents fixed)")
     args = ap.parse_args()
+    global TRUST
     if args.trust:
         TRUST[:] = [float(v) for v in args.trust.split(",")]
 
-    k1, k2, a, b, ss, cs = args.init
+    if len(args.init) not in (6, 8):
+        raise SystemExit("init takes 6 or 8 values")
+    k1, k2, a, b, ss, cs = args.init[:6]
     theta = np.array([np.log(k1), np.log(k2), a, b, np.log(ss),
-                      np.log(cs)])
+                      np.log(cs)] + list(args.init[6:]))
+    TRUST = TRUST[:len(theta)]
 
     quats, w = load_aggregate()
     gold = golden(args.xtal)

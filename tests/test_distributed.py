@@ -50,18 +50,27 @@ def _launch(workdir, env):
 
 
 def test_two_process_distributed_matches_single(tmp_path):
-    port = _free_port()
-
-    procs = []
-    for pid in range(2):
-        wd = tmp_path / f"proc{pid}"
-        procs.append(_launch(str(wd), _env(2, pid, port, 4)))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+    # Gloo's key-value exchange has a hard ~30 s deadline; on a loaded
+    # single-core runner one worker can start >30 s behind the other, so
+    # allow one clean retry before declaring failure.
+    for attempt in range(2):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            wd = tmp_path / f"attempt{attempt}_proc{pid}"
+            procs.append(_launch(str(wd), _env(2, pid, port, 4)))
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            for pid, (p, out) in enumerate(zip(procs, outs)):
+                assert p.returncode == 0, \
+                    f"proc {pid} failed:\n{out[-4000:]}"
+    proc_dir = tmp_path / f"attempt{attempt}_proc0"
+    proc_dir_1 = tmp_path / f"attempt{attempt}_proc1"
 
     # single-process reference run (8 local devices, same replicated path)
     wd1 = tmp_path / "single"
@@ -69,12 +78,10 @@ def test_two_process_distributed_matches_single(tmp_path):
     out1, _ = p1.communicate(timeout=900)
     assert p1.returncode == 0, f"single-process run failed:\n{out1[-4000:]}"
 
-    a2 = np.atleast_2d(np.loadtxt(tmp_path / "proc0" /
-                                  "tiny_voce_stress.txt"))
+    a2 = np.atleast_2d(np.loadtxt(proc_dir / "tiny_voce_stress.txt"))
     a1 = np.atleast_2d(np.loadtxt(wd1 / "tiny_voce_stress.txt"))
     assert a2.shape == a1.shape == (2, 6)
     np.testing.assert_allclose(a2, a1, rtol=1e-6, atol=1e-12)
     # both workers wrote identical histories (SPMD single-controller)
-    a2b = np.atleast_2d(np.loadtxt(tmp_path / "proc1" /
-                                   "tiny_voce_stress.txt"))
+    a2b = np.atleast_2d(np.loadtxt(proc_dir_1 / "tiny_voce_stress.txt"))
     np.testing.assert_allclose(a2b, a2, rtol=0, atol=0)
