@@ -365,6 +365,85 @@ class MechSystem:
             return (r, k_data, diag, stress_q,
                     state_end.reshape(ne, nq, -1), x_warm)
 
+        def _setup_core_cm(el_x, el_v, state_c, emask_c, dt, nsub, x_warm,
+                           warm_ok, con):
+            """Element-batch core of the CM setup (geometry -> material ->
+            force/EA/diagonal).  ``con`` is the sharding-constraint hook
+            (identity when running inside a lax.map chunk)."""
+            from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
+                                       grad_calc_cm, jacobians_cm)
+            J = jacobians_cm(el_x, self.dshape)
+            adj = adjugate_3x3_cm(J)
+            det = det_3x3_cm(J)
+            L = grad_calc_cm(el_v, self.dshape, adj, det)  # (3, 3, nq, ne)
+            nq, ne = L.shape[2], L.shape[3]
+            stress, state_end, c6, x_sol = model.model_setup_cm(
+                dt, L.reshape(3, 3, nq * ne), state_c, nsub=nsub,
+                x_warm=x_warm, warm_ok=warm_ok, with_solution=True)
+            stress_q = con(stress.reshape(6, nq, ne))
+            c6_q = con(c6.reshape(6, 6, nq, ne))
+            force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
+                                          stress_q)
+            force = force * emask_c[None, None, :]
+            k_cm = ops.assemble_ea_gradient_cm(el_x, self.dshape, self.qwts,
+                                               c6_q, dt)
+            k_cm = con(k_cm * emask_c[None, None, :])
+            dloc = ops.ea_diagonal_cm(k_cm, ref.nnodes)
+            return force, k_cm, dloc, stress_q, state_end, x_sol
+
+        # Element chunking of the fused setup (production-size meshes):
+        # XLA's rematerializer materializes compressed copies of the EA
+        # blocks in (3,3)-minor layouts whose TPU tile padding expands
+        # 56.9x — at 48^3 that is a 32.8 GB HLO-temp footprint for 742 MB
+        # of data (BENCH_r02/r03 OOM dumps).  Bounding the per-chunk
+        # element batch keeps every temp small enough that no remat /
+        # compression kicks in, while the material solve still sees
+        # >=200k-point batches.  Auto policy: ~262k qpts per chunk (the
+        # measured-good 32^3 size); single-device only (the SPMD path
+        # shards the element axis instead).
+        _nq_s = self.fes.nqpts
+        env_nc = os.environ.get("EXACONSTIT_SETUP_CHUNKS", "auto")
+        if device_mesh is not None:
+            self._setup_nc = 1
+        else:
+            npts_s = ne_pad * _nq_s
+            if env_nc == "auto":
+                target = max(1, -(-npts_s // 262144))
+            else:
+                target = max(1, int(env_nc))
+            nc = min(target, ne_pad)
+            while ne_pad % nc:
+                nc -= 1
+            self._setup_nc = nc
+
+        def _split_e(a, nc):
+            """(..., ne) -> (nc, ..., ne/nc) contiguous element chunks."""
+            nec = a.shape[-1] // nc
+            a = a.reshape(a.shape[:-1] + (nc, nec))
+            return jnp.moveaxis(a, -2, 0)
+
+        def _join_e(a):
+            """(nc, ..., nec) -> (..., nc*nec)."""
+            a = jnp.moveaxis(a, 0, -2)
+            return a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
+
+        def _split_p(a, nc, nq):
+            """(k, nq*ne) point array -> (nc, k, nq*(ne/nc)); the point
+            index is (q, e) with e minor, so element chunks are strided
+            nq-row blocks."""
+            nec = a.shape[-1] // (nq * nc)
+            a = a.reshape(a.shape[0], nq, nc, nec)
+            a = jnp.moveaxis(a, -2, 0)
+            return a.reshape(nc, a.shape[1], nq * nec)
+
+        def _join_p(a, nq):
+            """(nc, k, nq*nec) -> (k, nq*ne)."""
+            nc, k = a.shape[0], a.shape[1]
+            nec = a.shape[-1] // nq
+            a = a.reshape(nc, k, nq, nec)
+            a = jnp.moveaxis(a, 0, -2)
+            return a.reshape(k, nq * nc * nec)
+
         def setup_fn_cm(v, x_beg, state_beg, dt, ess_mask, advance_coords,
                         nsub, x_warm, warm_ok):
             """Component-major setup: identical math to setup_fn with ALL
@@ -372,30 +451,34 @@ class MechSystem:
             state, (6, npts) stress — so nothing at the jit boundary or in
             HBM carries TPU tile padding ((ne, nq, 6) pads 6 -> 128 = 21x;
             (ne, nq, nsv) ~5x; (nn, 3) 42.7x — the round-2 64^3 OOM)."""
-            from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
-                                       grad_calc_cm, jacobians_cm)
             x_end = x_beg + dt * v if advance_coords else x_beg
             el_x = gather_cm(x_end)  # (3, nen, ne)
             el_v = gather_cm(v)
-            J = jacobians_cm(el_x, self.dshape)
-            adj = adjugate_3x3_cm(J)
-            det = det_3x3_cm(J)
-            L = grad_calc_cm(el_v, self.dshape, adj, det)  # (3, 3, nq, ne)
-            nq, ne = L.shape[2], L.shape[3]
-            stress, state_end, c6, x_sol = model.model_setup_cm(
-                dt, L.reshape(3, 3, nq * ne), state_beg, nsub=nsub,
-                x_warm=x_warm, warm_ok=warm_ok, with_solution=True)
-            stress_q = constrain_cm(stress.reshape(6, nq, ne))
-            c6_q = constrain_cm(c6.reshape(6, 6, nq, ne))
-            force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
-                                          stress_q)
-            force = force * self.elem_mask[None, None, :]
+            nq, ne = self.fes.nqpts, el_x.shape[2]
+            nc = self._setup_nc
+            if nc > 1:
+                def body(args):
+                    elx_c, elv_c, st_c, xw_c, em_c = args
+                    return _setup_core_cm(elx_c, elv_c, st_c, em_c, dt,
+                                          nsub, xw_c, warm_ok,
+                                          lambda a: a)
+                outs = jax.lax.map(body, (
+                    _split_e(el_x, nc), _split_e(el_v, nc),
+                    _split_p(state_beg, nc, nq),
+                    _split_p(x_warm, nc, nq),
+                    _split_e(self.elem_mask, nc)))
+                force = _join_e(outs[0])
+                k_cm = _join_e(outs[1])
+                dloc = _join_e(outs[2])
+                stress_q = _join_e(outs[3])
+                state_end = _join_p(outs[4], nq)
+                x_sol = _join_p(outs[5], nq)
+            else:
+                force, k_cm, dloc, stress_q, state_end, x_sol = \
+                    _setup_core_cm(el_x, el_v, state_beg, self.elem_mask,
+                                   dt, nsub, x_warm, warm_ok, constrain_cm)
             r = scatter_add_cm(force)
             r = jnp.where(ess_mask, 0.0, r)
-            k_cm = ops.assemble_ea_gradient_cm(el_x, self.dshape, self.qwts,
-                                               c6_q, dt)
-            k_cm = constrain_cm(k_cm * self.elem_mask[None, None, :])
-            dloc = ops.ea_diagonal_cm(k_cm, ref.nnodes)
             diag = scatter_add_cm(dloc)
             diag = jnp.where(ess_mask, 1.0, diag)
             return (r, k_cm, diag, stress_q.reshape(6, nq * ne), state_end,
@@ -438,26 +521,44 @@ class MechSystem:
             r = scatter_add(force).reshape(-1)
             return jnp.where(ess_mask.reshape(-1), 0.0, r)
 
-        def residual_only_cm(v, x_beg, state_beg, dt, ess_mask, nsub,
-                             x_warm, warm_ok):
+        def _resid_core_cm(el_x, el_v, state_c, emask_c, dt, nsub, x_warm,
+                           warm_ok, con):
             from .fem.geometry import (adjugate_3x3_cm, det_3x3_cm,
                                        grad_calc_cm, jacobians_cm)
-            x_end = x_beg + dt * v
-            el_x = gather_cm(x_end)
-            el_v = gather_cm(v)
             J = jacobians_cm(el_x, self.dshape)
             adj = adjugate_3x3_cm(J)
             det = det_3x3_cm(J)
             L = grad_calc_cm(el_v, self.dshape, adj, det)
             nq, ne = L.shape[2], L.shape[3]
             stress, _, _ = model.model_setup_cm(
-                dt, L.reshape(3, 3, nq * ne), state_beg,
+                dt, L.reshape(3, 3, nq * ne), state_c,
                 compute_tangent=False, nsub=nsub, x_warm=x_warm,
                 warm_ok=warm_ok)
-            stress_q = constrain_cm(stress.reshape(6, nq, ne))
+            stress_q = con(stress.reshape(6, nq, ne))
             force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
                                           stress_q)
-            force = force * self.elem_mask[None, None, :]
+            return force * emask_c[None, None, :]
+
+        def residual_only_cm(v, x_beg, state_beg, dt, ess_mask, nsub,
+                             x_warm, warm_ok):
+            x_end = x_beg + dt * v
+            el_x = gather_cm(x_end)
+            el_v = gather_cm(v)
+            nq, nc = self.fes.nqpts, self._setup_nc
+            if nc > 1:
+                def body(args):
+                    elx_c, elv_c, st_c, xw_c, em_c = args
+                    return _resid_core_cm(elx_c, elv_c, st_c, em_c, dt,
+                                          nsub, xw_c, warm_ok, lambda a: a)
+                force = _join_e(jax.lax.map(body, (
+                    _split_e(el_x, nc), _split_e(el_v, nc),
+                    _split_p(state_beg, nc, nq),
+                    _split_p(x_warm, nc, nq),
+                    _split_e(self.elem_mask, nc))))
+            else:
+                force = _resid_core_cm(el_x, el_v, state_beg,
+                                       self.elem_mask, dt, nsub, x_warm,
+                                       warm_ok, constrain_cm)
             r = scatter_add_cm(force)
             return jnp.where(ess_mask, 0.0, r)
 
