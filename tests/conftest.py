@@ -6,6 +6,9 @@ import sys
 # virtual CPU mesh, so re-exec once with the axon hook disabled.
 if os.environ.get("PALLAS_AXON_POOL_IPS"):
     env = dict(os.environ)
+    # preserve the tunnel address for the e2e TPU regression test's
+    # subprocess (tests/test_full_regression_tpu.py)
+    env.setdefault("EXACONSTIT_TPU_TUNNEL", env["PALLAS_AXON_POOL_IPS"])
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")

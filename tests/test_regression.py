@@ -121,10 +121,13 @@ def test_const_strain_rate_regression(tmp_path, case, golden, tol):
 
 @pytest.mark.parametrize("case,golden,tol", MTSDD_CASES)
 def test_mtsdd_regression(tmp_path, case, golden, tol):
-    # 2 default steps: the pure-f64 MTSDD point solve is the suite's
-    # most expensive per-step cost on the single-core CPU runner; the
+    # 1 default step: the pure-f64 MTSDD point solve is the suite's
+    # most expensive per-step cost on the single-core CPU runner (the
+    # BCC 2-step case alone was 12 min of the 63-min round-2 suite),
+    # and the cases are xfail-documented floors either way — the
+    # default run covers parse/build/f64-solve/golden-compare; the
     # full ramp runs under EXACONSTIT_FULL_REGRESSION=1
-    nsteps = None if FULL else 2
+    nsteps = None if FULL else 1
     opt, sim = run_case(tmp_path, case, nsteps)
     compare_stress(tmp_path, opt, golden, rel_tol=tol)
 
