@@ -117,11 +117,17 @@ def newton_step_time(ncuts=(32, 32, 32)):
 
     system, v0, x0, state, ess_flat = _tiny_problem(list(ncuts))
 
-    # develop flow with the fixed-iteration step (cheap warmup)
-    step = system.make_jit_step(newton_iters=2)
+    # develop flow through the production path itself: reusing
+    # newton_solve for the warmup avoids compiling (and co-residenting)
+    # the separate fused fixed-iteration program, whose extra HLO-temp
+    # scratch was the difference between fitting and OOMing at 64^3
     v, x, st = v0, x0, state
-    for dt in (0.005, 0.02, 0.05):
-        v, x, _, st, _ = step(v, x, st, dt, ess_flat)
+    ess_mask = ess_flat
+    for dt in (0.005, 0.02):
+        v, _, st2, _, _, _ = system.newton_solve(v, x, st, dt, ess_mask,
+                                                 verbose=False)
+        x = x + dt * v
+        st = st2
         jax.block_until_ready(st)
 
     # measured: the production host-adaptive Newton solve (newton_solve
