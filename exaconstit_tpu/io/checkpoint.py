@@ -14,7 +14,7 @@ import numpy as np
 
 
 def save_checkpoint(path: str, sim, t: float, ti: int):
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    import jax
     # active BC epoch: the last update step <= ti (BCManager semantics --
     # cur_bcs stays fixed between update steps)
     bc_epoch = max(s for s in sim.update_steps if s <= ti)
@@ -33,6 +33,11 @@ def save_checkpoint(path: str, sim, t: float, ti: int):
     )
     if hasattr(sim, "state_prev"):
         arrays["state_prev"] = sysm.from_state(sim.state_prev)
+    # the from_state/from_node gathers above are collective (all
+    # processes participate); only rank 0 writes the archive
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez_compressed(path, **arrays)
 
 

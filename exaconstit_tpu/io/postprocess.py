@@ -106,6 +106,8 @@ def write_vis_step(sim, ti, t, entries):
     """
     import os
 
+    import jax
+
     base = sim.opt.basename
     fields = compute_element_fields(sim, light_up=sim.opt.light_up)
     # displacement as point data
@@ -113,6 +115,10 @@ def write_vis_step(sim, ti, t, entries):
     disp = x_cur - sim.system.from_node(sim.x_ref)
     vel = sim.system.from_node(sim.v)
     points = {"Displacement": disp, "Velocity": vel}
+    # field gathers above are collective; only rank 0 writes files
+    # (reference: my_id == 0 gating, system_driver.cpp:461-548)
+    if jax.process_index() != 0:
+        return
 
     if sim.opt.paraview or sim.opt.visit:
         from .vtk import write_pvd, write_vtu

@@ -103,9 +103,27 @@ def read_mfem_mesh(path: str, ref_levels: int = 0,
 
     seek("vertices")
     nv = int(lines[i]); i += 1
+    # curved/high-order meshes carry only the vertex COUNT here and put
+    # the coordinates in a trailing 'nodes' (GridFunction) section — the
+    # seek() guard above never reaches it ('vertices' precedes 'nodes'),
+    # so detect the missing coordinate block right here
+    while i < len(lines) and not lines[i]:
+        i += 1
+    if i >= len(lines) or lines[i] == "nodes":
+        raise ValueError(
+            f"{path} has a 'nodes' (curved/high-order geometry) "
+            "section, which this reader does not support; supply "
+            "the linear mesh and use Mesh.p_refinement instead")
     vdim_line = lines[i]
     if len(vdim_line.split()) == 1:
         i += 1  # vdim on its own line
+        while i < len(lines) and not lines[i]:
+            i += 1
+        if i >= len(lines) or lines[i] == "nodes":
+            raise ValueError(
+                f"{path} has a 'nodes' (curved/high-order geometry) "
+                "section, which this reader does not support; supply "
+                "the linear mesh and use Mesh.p_refinement instead")
     coords = np.empty((nv, 3))
     for v in range(nv):
         coords[v] = [float(x) for x in lines[i].split()[:3]]
@@ -144,6 +162,12 @@ def promote_mesh_order(mesh: HexMesh, p: int) -> HexMesh:
     coords = np.asarray(mesh.coords)
     ne = conn.shape[0]
     gll = lobatto_points(p)
+    # symmetrize: legroots-derived Gauss-Lobatto points are not exactly
+    # mirror-symmetric (~1 ulp), so orientation-flipped neighbor elements
+    # would compute weights differing at the last bit — which can straddle
+    # the rounded dedup key below and silently crack the mesh.  Averaging
+    # with the reversed complement makes mirrored weights bitwise equal.
+    gll = 0.5 * (gll + 1.0 - gll[::-1])
     n1 = p + 1
 
     # tri-linear vertex weights at each lattice point (lex vertex order)
