@@ -389,6 +389,15 @@ class MechSystem:
                                                c6_q, dt)
             k_cm = con(k_cm * emask_c[None, None, :])
             dloc = ops.ea_diagonal_cm(k_cm, ref.nnodes)
+            if self._ea_dtype is not None:
+                # store the EA blocks in f32 (the diagonal above is taken
+                # at full precision): the Krylov inner loop already runs
+                # f32, and the f64 residual replay refines against the
+                # f32-block operator consistently — inexact Newton with a
+                # ~1e-7-relative Jacobian, while the f64-emulated block
+                # array (the largest resident at 64^3: 24*24*ne*16 B =
+                # 2.4 GB) halves
+                k_cm = k_cm.astype(self._ea_dtype)
             return force, k_cm, dloc, stress_q, state_end, x_sol
 
         # Element chunking of the fused setup (production-size meshes):
@@ -415,34 +424,26 @@ class MechSystem:
             while ne_pad % nc:
                 nc -= 1
             self._setup_nc = nc
+        # EA-block precision: "auto" stores the per-element stiffness in
+        # f32 above 1.5M qpts (under x64), where the f64-emulated block
+        # array is the capacity binder (the 64^3 single-chip OOM); the
+        # Newton residual stays full f64 so this is standard inexact
+        # Newton.  "1"/"0" force it on/off.
+        env_f32 = os.environ.get("EXACONSTIT_EA_F32", "auto")
+        if env_f32 == "auto":
+            ea_f32 = (ne_pad * _nq_s > 1_500_000
+                      and jax.config.jax_enable_x64)
+        else:
+            ea_f32 = env_f32 == "1"
+        self._ea_dtype = jnp.float32 if ea_f32 else None
 
-        def _split_e(a, nc):
-            """(..., ne) -> (nc, ..., ne/nc) contiguous element chunks."""
-            nec = a.shape[-1] // nc
-            a = a.reshape(a.shape[:-1] + (nc, nec))
-            return jnp.moveaxis(a, -2, 0)
+        def _slice_e(a, e0, nec):
+            """Contiguous element chunk [e0, e0+nec) along the last axis."""
+            return jax.lax.dynamic_slice_in_dim(a, e0, nec, axis=a.ndim - 1)
 
-        def _join_e(a):
-            """(nc, ..., nec) -> (..., nc*nec)."""
-            a = jnp.moveaxis(a, 0, -2)
-            return a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
-
-        def _split_p(a, nc, nq):
-            """(k, nq*ne) point array -> (nc, k, nq*(ne/nc)); the point
-            index is (q, e) with e minor, so element chunks are strided
-            nq-row blocks."""
-            nec = a.shape[-1] // (nq * nc)
-            a = a.reshape(a.shape[0], nq, nc, nec)
-            a = jnp.moveaxis(a, -2, 0)
-            return a.reshape(nc, a.shape[1], nq * nec)
-
-        def _join_p(a, nq):
-            """(nc, k, nq*nec) -> (k, nq*ne)."""
-            nc, k = a.shape[0], a.shape[1]
-            nec = a.shape[-1] // nq
-            a = a.reshape(nc, k, nq, nec)
-            a = jnp.moveaxis(a, 0, -2)
-            return a.reshape(k, nq * nc * nec)
+        def _upd_e(a, val, e0):
+            return jax.lax.dynamic_update_slice_in_dim(a, val, e0,
+                                                       axis=a.ndim - 1)
 
         def setup_fn_cm(v, x_beg, state_beg, dt, ess_mask, advance_coords,
                         nsub, x_warm, warm_ok):
@@ -457,22 +458,45 @@ class MechSystem:
             nq, ne = self.fes.nqpts, el_x.shape[2]
             nc = self._setup_nc
             if nc > 1:
-                def body(args):
-                    elx_c, elv_c, st_c, xw_c, em_c = args
-                    return _setup_core_cm(elx_c, elv_c, st_c, em_c, dt,
-                                          nsub, xw_c, warm_ok,
-                                          lambda a: a)
-                outs = jax.lax.map(body, (
-                    _split_e(el_x, nc), _split_e(el_v, nc),
-                    _split_p(state_beg, nc, nq),
-                    _split_p(x_warm, nc, nq),
-                    _split_e(self.elem_mask, nc)))
-                force = _join_e(outs[0])
-                k_cm = _join_e(outs[1])
-                dloc = _join_e(outs[2])
-                stress_q = _join_e(outs[3])
-                state_end = _join_p(outs[4], nq)
-                x_sol = _join_p(outs[5], nq)
+                # fori_loop + dynamic_update_slice: each output is
+                # allocated ONCE at full size and chunk results are
+                # written in place (XLA reuses the loop-carry buffers) —
+                # the previous lax.map stacked a (nc, ...) copy of every
+                # output that a transposing join then duplicated, ~2x the
+                # resident output footprint (the 64^3 OOM margin)
+                nec = ne // nc
+                nen = el_x.shape[1]
+                nsv = state_beg.shape[0]
+                st3 = state_beg.reshape(nsv, nq, ne)
+                xw3 = x_warm.reshape(8, nq, ne)
+                fdt = el_x.dtype
+                acc0 = (jnp.zeros((3, nen, ne), fdt),
+                        jnp.zeros((3 * nen, 3 * nen, ne),
+                                  self._ea_dtype or fdt),
+                        jnp.zeros((3, nen, ne), fdt),
+                        jnp.zeros((6, nq, ne), fdt),
+                        jnp.zeros((nsv, nq, ne), state_beg.dtype),
+                        jnp.zeros((8, nq, ne), x_warm.dtype))
+
+                def body(c, acc):
+                    e0 = c * nec
+                    f_c, k_c, d_c, s_c, se_c, xs_c = _setup_core_cm(
+                        _slice_e(el_x, e0, nec), _slice_e(el_v, e0, nec),
+                        _slice_e(st3, e0, nec).reshape(nsv, nq * nec),
+                        _slice_e(self.elem_mask, e0, nec), dt, nsub,
+                        _slice_e(xw3, e0, nec).reshape(8, nq * nec),
+                        warm_ok, lambda a: a)
+                    return (_upd_e(acc[0], f_c, e0),
+                            _upd_e(acc[1], k_c, e0),
+                            _upd_e(acc[2], d_c, e0),
+                            _upd_e(acc[3], s_c, e0),
+                            _upd_e(acc[4], se_c.reshape(nsv, nq, nec), e0),
+                            _upd_e(acc[5], xs_c.reshape(8, nq, nec), e0))
+
+                force, k_cm, dloc, stress_q, se3, xs3 = jax.lax.fori_loop(
+                    0, nc, body, acc0)
+                state_end = se3.reshape(nsv, nq * ne)
+                x_sol = xs3.reshape(8, nq * ne)
             else:
                 force, k_cm, dloc, stress_q, state_end, x_sol = \
                     _setup_core_cm(el_x, el_v, state_beg, self.elem_mask,
@@ -546,15 +570,24 @@ class MechSystem:
             el_v = gather_cm(v)
             nq, nc = self.fes.nqpts, self._setup_nc
             if nc > 1:
-                def body(args):
-                    elx_c, elv_c, st_c, xw_c, em_c = args
-                    return _resid_core_cm(elx_c, elv_c, st_c, em_c, dt,
-                                          nsub, xw_c, warm_ok, lambda a: a)
-                force = _join_e(jax.lax.map(body, (
-                    _split_e(el_x, nc), _split_e(el_v, nc),
-                    _split_p(state_beg, nc, nq),
-                    _split_p(x_warm, nc, nq),
-                    _split_e(self.elem_mask, nc))))
+                ne = el_x.shape[2]
+                nec = ne // nc
+                nsv = state_beg.shape[0]
+                st3 = state_beg.reshape(nsv, nq, ne)
+                xw3 = x_warm.reshape(8, nq, ne)
+                acc0 = jnp.zeros((3, el_x.shape[1], ne), el_x.dtype)
+
+                def body(c, acc):
+                    e0 = c * nec
+                    f_c = _resid_core_cm(
+                        _slice_e(el_x, e0, nec), _slice_e(el_v, e0, nec),
+                        _slice_e(st3, e0, nec).reshape(nsv, nq * nec),
+                        _slice_e(self.elem_mask, e0, nec), dt, nsub,
+                        _slice_e(xw3, e0, nec).reshape(8, nq * nec),
+                        warm_ok, lambda a: a)
+                    return _upd_e(acc, f_c, e0)
+
+                force = jax.lax.fori_loop(0, nc, body, acc0)
             else:
                 force = _resid_core_cm(el_x, el_v, state_beg,
                                        self.elem_mask, dt, nsub, x_warm,
@@ -717,9 +750,22 @@ class MechSystem:
         return self._put_r(jnp.asarray(a.T.reshape(-1) if self.use_cm
                                        else a))
 
+    def _fetch(self, dev):
+        """Device array -> host np, multi-process safe.
+
+        Element-sharded arrays (PartitionSpec 'elems') are not fully
+        addressable when jax.process_count() > 1; gather them first
+        (collective — every process must reach this call, mirroring the
+        reference where every rank participates in the reductions and
+        only rank 0 writes, system_driver.cpp:461-548)."""
+        if not getattr(dev, "is_fully_addressable", True):
+            from jax.experimental import multihost_utils
+            dev = multihost_utils.process_allgather(dev, tiled=True)
+        return np.asarray(dev)
+
     def from_node(self, dev):
         """Device nodal field -> host np (nn, 3)."""
-        a = np.asarray(dev)
+        a = self._fetch(dev)
         return a.reshape(3, -1).T if self.use_cm else a
 
     def to_ess(self, mask):
@@ -738,7 +784,7 @@ class MechSystem:
 
     def from_state(self, dev):
         """Device qpt field -> host np (ne_pad, nq, k)."""
-        a = np.asarray(dev)
+        a = self._fetch(dev)
         if self.use_cm:
             return a.reshape(a.shape[0], self.fes.nqpts,
                              self.ne_pad).transpose(2, 1, 0)
@@ -873,6 +919,7 @@ class MechSystem:
         norm0 = norm
         norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
         it = 0
+        kiters = []  # Krylov iterations per NR iteration (observability)
         converged = False
         always_ls = opt.nl_solver == NLSolver.NRLS
         while True:
@@ -888,6 +935,7 @@ class MechSystem:
                 break
             c, kit, kdone = self._timed("krylov_solve", self._krylov,
                                         k_data, diag, r, ess_flat)
+            kiters.append(int(kit))
             c = self._unflat_c(c)
             q1 = norm
 
@@ -905,6 +953,12 @@ class MechSystem:
                     return 1.0
                 return 0.05
 
+            # drop the previous iteration's large arrays before building
+            # the next setup: otherwise the old EA blocks/state_end stay
+            # resident across the new setup call and the peak footprint
+            # carries two full gradient sets (they are all reassigned
+            # from `out` right below)
+            r = k_data = diag = stress = state_end = out = None
             if always_ls:
                 scale = quad_ls()
                 v_new = v - scale * c
@@ -926,6 +980,14 @@ class MechSystem:
             norm = float(self._norm(r))
             it += 1
 
+        # per-solve observability record (the reference's Caliper regions
+        # + Newton norm prints, mechanics_solver.cpp:79-86): NR count and
+        # Krylov iterations per NR iteration, consumed by bench.py and
+        # the timing log
+        self.last_newton_stats = {
+            "nr_iters": it, "krylov_iters": kiters,
+            "norm0": norm0, "norm": norm,
+        }
         return v, stress, state_end, converged, it, norm
 
     # -- BC-change corrector (SystemDriver::SolveInit) ----------------------
@@ -1002,14 +1064,14 @@ class Simulation:
         mode = getattr(opt, "parallel_mode", "auto")
         system = None
         self.parallel_mode = "single"
-        # Slab is single-controller for now: its host-side BC/update path
-        # round-trips local node blocks through numpy, which requires the
-        # arrays to be process-addressable.  Multi-process runs
-        # (jax.distributed) use the replicated-node path, whose host
-        # touchpoints are fully-replicated arrays (legal to fetch from
-        # every process).
+        # Slab works single- and multi-process: the device mesh spans all
+        # processes' devices (the mpirun analog), halo exchange rides the
+        # same ppermute, and host-side fetches of the block-sharded
+        # arrays gather collectively (MechSystem._fetch), so every
+        # process executes the same SPMD program — matching the
+        # reference, whose only distributed mode is MPI domain
+        # decomposition (SURVEY.md section 2.3).
         if device_mesh is not None and mode in ("auto", "slab") \
-                and jax.process_count() == 1 \
                 and opt.mech_type == MechType.EXACMECH \
                 and opt.solver == KrylovSolver.PCG:
             from .parallel.slab_system import SlabMechSystem
@@ -1025,7 +1087,9 @@ class Simulation:
         elif device_mesh is not None and mode == "slab":
             raise ValueError(
                 "Solvers.parallel_mode = 'slab' requires an ExaCMech "
-                "material and the PCG Krylov solver")
+                "material and the PCG Krylov solver (got "
+                f"mech_type={opt.mech_type.name}, "
+                f"solver={opt.solver.name})")
         if system is None:
             system = MechSystem(opt, self.mesh, self.model,
                                 device_mesh=device_mesh)
@@ -1254,6 +1318,12 @@ class Simulation:
 
     # -- outputs -------------------------------------------------------------
     def _append_file(self, name, text):
+        # rank-0 gating: in multi-process (jax.distributed) runs every
+        # process executes the collective average computations, but only
+        # process 0 touches the shared working directory — matching the
+        # reference's my_id == 0 output gating (system_driver.cpp:461-548)
+        if jax.process_index() != 0:
+            return
         path = os.path.join(self.workdir, name)
         with open(path, "a") as f:
             f.write(text)

@@ -158,7 +158,15 @@ class SlabMechSystem(MechSystem):
             return nsub_sm(v, x_beg, self._conn_l, dt)
 
         self._compute_nsub_raw = compute_nsub
-        self._compute_nsub = jax.jit(compute_nsub)
+        # NOTE (here and below): every jitted entry point takes the
+        # per-shard constant index arrays as explicit ARGUMENTS (bound by
+        # a host-level lambda at call time) rather than closures — jit
+        # embeds closed-over jax.Arrays as program constants by fetching
+        # their value, which is illegal for arrays spanning other
+        # processes' devices (multi-process slab runs).
+        nsub_jit = jax.jit(nsub_sm)
+        self._compute_nsub = lambda v, x, dt: nsub_jit(
+            v, x, self._conn_l, dt)
 
         # ---- setup: residual + gradient data + diagonal ---------------------
         def setup_k(v, x_beg, state_beg, ess_flat, nsub, emask, conn_l,
@@ -224,7 +232,19 @@ class SlabMechSystem(MechSystem):
                             (dt, 1.0 if advance_coords else 0.0, warm_ok))
 
         self._setup_raw = setup_fn
-        self._setup = jax.jit(setup_fn, static_argnums=(5,))
+
+        def setup_args(v, x_beg, state_beg, ess3, nsub, emask, conn_l, su,
+                       rd, sd, ru, x_warm, args):
+            return setup_sm(v, x_beg, state_beg, ess3, nsub, emask, conn_l,
+                            su, rd, sd, ru, x_warm, args)
+
+        setup_jit = jax.jit(setup_args)
+        self._setup = lambda v, x_beg, state_beg, dt, ess_mask, \
+            advance_coords, nsub, x_warm, warm_ok: setup_jit(
+                v, x_beg, state_beg, ess_mask.reshape(self.nn_loc_tot, 3),
+                nsub, self.elem_mask, self._conn_l, self._send_up,
+                self._recv_dn, self._send_dn, self._recv_up, x_warm,
+                (dt, 1.0 if advance_coords else 0.0, warm_ok))
         # warm-start carry (see MechSystem): slab carries the solution
         # point-major per element block, sharded like the state
         self._warm_arity = True
@@ -262,16 +282,13 @@ class SlabMechSystem(MechSystem):
             return jnp.where(ess_flat.reshape(-1), 0.0, r)
 
         residual_sm = smap(residual_k, 12, out_specs=specs_n)
-
-        def residual_only(v, x_beg, state_beg, dt, ess_mask, nsub,
-                          x_warm, warm_ok):
-            return residual_sm(v, x_beg, state_beg,
-                               ess_mask.reshape(self.nn_loc_tot, 3), nsub,
-                               self.elem_mask, self._conn_l, self._send_up,
-                               self._recv_dn, self._send_dn, self._recv_up,
-                               x_warm, (dt, warm_ok))
-
-        self._residual_only = jax.jit(residual_only)
+        residual_jit = jax.jit(residual_sm)
+        self._residual_only = lambda v, x_beg, state_beg, dt, ess_mask, \
+            nsub, x_warm, warm_ok: residual_jit(
+                v, x_beg, state_beg, ess_mask.reshape(self.nn_loc_tot, 3),
+                nsub, self.elem_mask, self._conn_l, self._send_up,
+                self._recv_dn, self._send_dn, self._recv_up, x_warm,
+                (dt, warm_ok))
 
         # ---- matvec / Krylov -------------------------------------------------
         def matvec_local(k_data, xflat, ess_flat, conn_l, su, rd, sd, ru):
@@ -320,7 +337,10 @@ class SlabMechSystem(MechSystem):
                              self._recv_up, self._owner3, 0.0)
 
         self._krylov_raw = krylov_solve
-        self._krylov = jax.jit(krylov_solve)
+        krylov_jit = jax.jit(krylov_sm)
+        self._krylov = lambda k_data, diag, b, ess_flat: krylov_jit(
+            k_data, diag, b, ess_flat, self._conn_l, self._send_up,
+            self._recv_dn, self._send_dn, self._recv_up, self._owner3, 0.0)
 
         # ---- unconstrained matvec (SolveInit) -------------------------------
         def matvec_unc_k(k_data, xflat, conn_l, su, rd, sd, ru, _dt):
@@ -334,13 +354,10 @@ class SlabMechSystem(MechSystem):
             return scatter_halo_k(el_y, conn_l, su, rd, sd, ru).reshape(-1)
 
         matvec_unc_sm = smap(matvec_unc_k, 7, out_specs=specs_n)
-
-        def grad_matvec_unconstrained(k_data, xflat):
-            return matvec_unc_sm(k_data, xflat, self._conn_l, self._send_up,
-                                 self._recv_dn, self._send_dn, self._recv_up,
-                                 0.0)
-
-        self._grad_matvec_unconstrained = jax.jit(grad_matvec_unconstrained)
+        matvec_unc_jit = jax.jit(matvec_unc_sm)
+        self._grad_matvec_unconstrained = lambda k_data, xflat: \
+            matvec_unc_jit(k_data, xflat, self._conn_l, self._send_up,
+                           self._recv_dn, self._send_dn, self._recv_up, 0.0)
 
         # ---- norms / gathers / averages -------------------------------------
         def norm_k(r, owner3, _dt):
@@ -352,17 +369,15 @@ class SlabMechSystem(MechSystem):
             return norm_sm(r.reshape(-1), self._owner3, 0.0)
 
         self._norm_raw = norm_fn
-        self._norm = jax.jit(norm_fn)
+        norm_jit = jax.jit(norm_sm)
+        self._norm = lambda r: norm_jit(r.reshape(-1), self._owner3, 0.0)
 
         def gather_k(x, conn_l, _dt):
             return x[conn_l]
 
         gather_sm = smap(gather_k, 2, out_specs=specs_n)
-
-        def gather(x):
-            return gather_sm(x, self._conn_l, 0.0)
-
-        self._gather = jax.jit(gather)
+        gather_jit = jax.jit(gather_sm)
+        self._gather = lambda x: gather_jit(x, self._conn_l, 0.0)
 
         def vol_avg_k(values_q, el_x, emask, args):
             divide = args
@@ -377,11 +392,9 @@ class SlabMechSystem(MechSystem):
             in_specs=(specs_n,) * 3 + (P(),),
             out_specs=P())(vol_avg_k)
 
-        def vol_avg(values_q, el_x, divide):
-            return vol_avg_sm(values_q, el_x, self.elem_mask,
-                              1.0 if divide else 0.0)
-
-        self._vol_avg = jax.jit(vol_avg, static_argnums=(2,))
+        vol_avg_jit = jax.jit(vol_avg_sm)
+        self._vol_avg = lambda values_q, el_x, divide: vol_avg_jit(
+            values_q, el_x, self.elem_mask, 1.0 if divide else 0.0)
 
         def max_deff_k(v, x_beg, emask, conn_l, dt):
             el_x = (x_beg + dt * v)[conn_l]
@@ -398,9 +411,9 @@ class SlabMechSystem(MechSystem):
             shard_map, mesh=mesh_dev, check_vma=False,
             in_specs=(specs_n,) * 4 + (P(),),
             out_specs=P())(max_deff_k)
-
-        self._max_deff = jax.jit(lambda v, x, dt: max_deff_sm(
-            v, x, self.elem_mask, self._conn_l, dt))
+        max_deff_jit = jax.jit(max_deff_sm)
+        self._max_deff = lambda v, x, dt: max_deff_jit(
+            v, x, self.elem_mask, self._conn_l, dt)
 
     # ---- layout adapters (Simulation-facing; see MechSystem) ---------------
     # The device-resident contract is the slab layout: nodal fields
@@ -443,9 +456,14 @@ class SlabMechSystem(MechSystem):
             self._shard)
 
     def to_global_nodes(self, tvec_local):
-        """sharded (S*(n_loc+1), c) -> np (num_nodes, c)."""
+        """sharded (S*(n_loc+1), c) -> np (num_nodes, c).
+
+        Multi-process safe: the block-sharded array is gathered
+        collectively first (MechSystem._fetch), every process returning
+        the same global array — the Distribute/allgather pattern of the
+        reference's rank-boundary fields."""
         p = self.part
-        loc = np.asarray(tvec_local).reshape(p.n_shards, p.n_loc + 1, -1)
+        loc = self._fetch(tvec_local).reshape(p.n_shards, p.n_loc + 1, -1)
         return self.slab_ops.to_global(loc, self.fes.num_nodes)
 
     def permute_elems(self, arr_global):
@@ -455,7 +473,7 @@ class SlabMechSystem(MechSystem):
 
     def unpermute_elems(self, arr_local):
         """(S*ne_per, ...) -> np (ne, ...) in original element order."""
-        a = np.asarray(arr_local)
+        a = self._fetch(arr_local)
         out = np.empty((self.fes.num_elems,) + a.shape[1:], dtype=a.dtype)
         real = self.part.elem_mask.reshape(-1) > 0
         out[self.part.elem_perm[real]] = a[real]
