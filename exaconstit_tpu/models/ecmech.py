@@ -392,6 +392,24 @@ def _calibrated_kin(kin, row):
 def _apply_mtsdd_calibration(kin, xtal):
     import os as _os
 
+    # Nonparametric identification hook (scripts/identification/
+    # fit_mtsdd_np.py): "k1,..,kK|f1,..,fK[|c1_scale]" replaces the
+    # kinetics with the free-form-hardening SplineG variant.
+    env_np = _os.environ.get("EXACONSTIT_MTSDD_CAL_NP")
+    if env_np:
+        import dataclasses as _dc
+
+        from .kinetics import KMBalD as _KMBalD
+        from .kinetics import SplineG as _SplineG
+        parts = env_np.split("|")
+        knots = tuple(float(v) for v in parts[0].split(","))
+        log_f = np.array([float(v) for v in parts[1].split(",")])
+        vals = {f.name: getattr(kin, f.name)
+                for f in _dc.fields(_KMBalD)}
+        if len(parts) > 2:
+            vals["c1"] = vals["c1"] * float(parts[2])
+        return _SplineG(**vals, g_knots=knots, log_f=log_f)
+
     # Identification hook (scripts/fit_mtsdd5.py): override the table
     # with "FCC:k1,k2,a,b[,s_scale,c1_scale][;BCC:...]" without editing
     # source between fit rounds.

@@ -457,3 +457,69 @@ class KMBalD:
             drdrho = 1.0 - (dprod - drecov) * dgam
             rho = jnp.maximum(rho - r / drdrho, _TINY)
         return rho
+
+
+@dataclasses.dataclass(frozen=True)
+class SplineG(KMBalD):
+    """KMBalD slip kinetics with a free-form hardening map (identification).
+
+    The hardness state is the slip strength g itself and its evolution
+    is dg/dGamma = exp(pwl(g; g_knots, log_f)) with flat extrapolation —
+    a superset of every Kocks-Mecking (k1, k2, a, b) family expressed
+    through g = go + s*sqrt(rho).  Used by
+    scripts/identification/fit_mtsdd_np.py to decide whether the MTSDD
+    golden residual lives in the hardening law at all; activated via the
+    EXACONSTIT_MTSDD_CAL_NP env hook (models/ecmech.py).
+    """
+
+    g_knots: tuple = ()
+    log_f: object = None
+
+    def init_hardness(self):
+        g0 = self.go + np.min(np.asarray(self.s)) * np.sqrt(
+            self.rho_dd_init)
+        return np.array([float(g0)])
+
+    def _strength(self, h):
+        return h[..., 0:1]
+
+    def _f(self, g):
+        """(f, df/dg) of the log-piecewise-linear hardening map."""
+        kn = jnp.asarray(self.g_knots, dtype=g.dtype)
+        lf = jnp.asarray(self.log_f, dtype=g.dtype)
+        i = jnp.clip(jnp.searchsorted(kn, g) - 1, 0, len(self.g_knots) - 2)
+        x0, x1 = kn[i], kn[i + 1]
+        y0, y1 = lf[i], lf[i + 1]
+        t = jnp.clip((g - x0) / (x1 - x0), 0.0, 1.0)
+        f = jnp.exp(y0 + t * (y1 - y0))
+        slope = jnp.where((g > kn[0]) & (g < kn[-1]),
+                          (y1 - y0) / (x1 - x0), 0.0)
+        return f, f * slope
+
+    def h_residual(self, h, h_n, gdots, dt, temp_k):
+        del temp_k
+        shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
+        f, _ = self._f(h[..., 0:1])
+        return h - h_n - f * shrate * dt
+
+    def update_h(self, h_n, gdots, dt, temp_k):
+        del temp_k
+        import jax as _jax
+        shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
+        dgam = shrate * dt
+
+        def newton(_, g):
+            f, df = self._f(g)
+            r = g - h_n - f * dgam
+            return g - r / (1.0 - df * dgam)
+
+        # fori_loop keeps the traced graph small (this runs inside the
+        # staggered solve's while_loops; an unrolled scalar Newton there
+        # explodes compile time)
+        return _jax.lax.fori_loop(0, 30, newton, h_n)
+
+    def update_h_explicit(self, h_n, gdots, dt, temp_k):
+        del temp_k
+        shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
+        f, _ = self._f(h_n)
+        return h_n + f * shrate * dt

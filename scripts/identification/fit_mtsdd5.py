@@ -112,7 +112,7 @@ def main():
     args = ap.parse_args()
     global TRUST
     if args.trust:
-        TRUST[:] = [float(v) for v in args.trust.split(",")]
+        TRUST = np.array([float(v) for v in args.trust.split(",")])
 
     if len(args.init) not in (6, 8):
         raise SystemExit("init takes 6 or 8 values")
