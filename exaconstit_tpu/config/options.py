@@ -212,6 +212,10 @@ class ExaOptions:
     krylov_rel_tol: float = 1e-10
     krylov_abs_tol: float = 1e-30
     solver: KrylovSolver = KrylovSolver.GMRES
+    # preconditioner: "jacobi" (assembled-diagonal, the reference's
+    # matrix-free default) or "gmg" (geometric multigrid on the voxel
+    # hierarchy, the BoomerAMG role -- solvers/gmg.py)
+    krylov_precond: str = "jacobi"
 
     # --- Mesh ---
     mesh_type: MeshType = MeshType.OTHER
@@ -541,6 +545,9 @@ def _parse_solvers(opt: ExaOptions, data: dict):
         opt.solver = KrylovSolver(ks)
     except ValueError:
         _abort("Solvers.Krylov.solver was not provided a valid type.")
+    opt.krylov_precond = str(kry.get("precond", "jacobi")).lower()
+    if opt.krylov_precond not in ("jacobi", "gmg"):
+        _abort("Solvers.Krylov.precond must be jacobi|gmg")
     # TPU-native extensions
     opt.precision = str(table.get("precision", "f64")).lower()
     opt.parallel_mode = str(table.get("parallel_mode", "auto")).lower()

@@ -668,6 +668,32 @@ class MechSystem:
                        and getattr(opt, "mixed_krylov", True)
                        and jax.config.jax_enable_x64)
 
+        # Geometric-multigrid preconditioner on the voxel hierarchy (the
+        # role BoomerAMG plays in the reference, system_driver.cpp:116-150
+        # — Jacobi-PCG iteration counts grow with resolution).  Available
+        # for the single-device component-major EA path on structured
+        # meshes; select with Solvers.Krylov.precond = "gmg" or
+        # EXACONSTIT_PRECOND=gmg.
+        gmg_meta = None
+        precond_kind = os.environ.get(
+            "EXACONSTIT_PRECOND", getattr(opt, "krylov_precond", "jacobi"))
+        if (precond_kind == "gmg" and self.use_cm
+                and getattr(mesh, "structure", None) is not None
+                and self.fes.ref.nnodes == 8
+                and opt.solver == KrylovSolver.PCG
+                and device_mesh is None):
+            from .solvers.gmg import GMGMeta
+            meta = GMGMeta(mesh.structure)
+            if meta.usable:
+                gmg_meta = meta
+            else:
+                print("gmg preconditioner unavailable (grid does not "
+                      "coarsen); using Jacobi")
+        elif precond_kind == "gmg":
+            print("gmg preconditioner requires the single-device CM EA "
+                  "path on a structured order-1 mesh; using Jacobi")
+        ne_real = self.fes.num_elems
+
         def krylov_solve(k_data, diag, b, ess_mask_flat):
             matvec = lambda x: grad_matvec(k_data, x, ess_mask_flat)
             dinv = 1.0 / diag
@@ -679,9 +705,27 @@ class MechSystem:
                 dinv32 = dinv.astype(f32)
                 matvec32 = lambda x: grad_matvec(k32, x, ess_mask_flat)
                 precond32 = lambda v: dinv32 * v
+                if gmg_meta is not None:
+                    from .solvers import gmg as _gmg
+                    levels = _gmg.build_hierarchy(
+                        gmg_meta, k32[:, :, :ne_real],
+                        ess_mask_flat, matvec32, diag.astype(f32))
+                    cd = gmg_meta.coarse_dense
+                    precond32 = lambda v: _gmg.v_cycle(levels, v,
+                                                       coarse_dense=cd)
+                    precond = lambda v: _gmg.v_cycle(
+                        levels, v.astype(f32),
+                        coarse_dense=cd).astype(b.dtype)
                 return pcg_refined(matvec, precond, matvec32, precond32, b,
                                    opt.krylov_rel_tol, opt.krylov_abs_tol,
                                    opt.krylov_iter)
+            if gmg_meta is not None:
+                from .solvers import gmg as _gmg
+                levels = _gmg.build_hierarchy(
+                    gmg_meta, k_data[:, :, :ne_real], ess_mask_flat,
+                    matvec, diag)
+                precond = lambda v: _gmg.v_cycle(
+                    levels, v, coarse_dense=gmg_meta.coarse_dense)
             return krylov(matvec, precond, b, opt.krylov_rel_tol,
                           opt.krylov_abs_tol, opt.krylov_iter)
 
