@@ -475,9 +475,26 @@ def build_model(opt: ExaOptions, props: np.ndarray) -> ECMechModel:
     # outer FEM Newton and stalls it.  Solve MTSDD fully in f64.
     mixed = opt.slip_type != SlipType.MTSDD
     import os as _os
-    use_pallas = (mixed
-                  and _os.environ.get("EXACONSTIT_PALLAS", "0") == "1")
+    # VMEM-resident Pallas dogleg for the f32 stage: default ON for the
+    # real TPU backend (measured 3.5-7.1x over the XLA while_loop at
+    # production batches, scripts/identification/pallas_stage_bench.py;
+    # results agree to 6e-11 and the f64 polish runs either way).  On
+    # CPU the kernel would run in interpreter mode — keep it off there.
+    # Override either way with EXACONSTIT_PALLAS=0/1.
+    env_pallas = _os.environ.get("EXACONSTIT_PALLAS")
+    if env_pallas is None:
+        import jax as _jax
+        use_pallas = mixed and _jax.default_backend() == "tpu"
+    else:
+        use_pallas = mixed and env_pallas == "1"
+    extra = {}
+    # identification hook: per-substep hardness-rate blend override
+    # (scripts/identification/calibrate_h_blend.py)
+    env_blend = _os.environ.get("EXACONSTIT_H_GD_BLEND")
+    if env_blend:
+        extra["h_gd_blend"] = float(env_blend)
     evptn = EvptnModel(slip=slip, elast=elast, kinetics=kin, eos=eos,
+                       **extra,
                        solver_tol=max(float(tol), 1e-14),
                        mixed_precision=mixed, use_pallas=use_pallas)
     return ECMechModel(evptn=evptn, temp_k=opt.temp_k, nslip=slip.nslip,

@@ -61,14 +61,23 @@ def build_inputs(model, N, dt, seed=0):
 
     # develop plastic flow: ~1% strain through the real staggered solve
     # (a zero-strain start solves trivially in 0 dogleg iterations —
-    # the production-relevant stage operates ON the flow surface)
-    nsub = jnp.full((N,), 13, jnp.int32)  # ceil(1.0 / 0.08)
+    # the production-relevant stage operates ON the flow surface).
+    # Warm a SUBSET of the batch and tile it up: warming all 884k
+    # points through 8 full staggered solves is a single >60s device
+    # execution, which the axon tunnel watchdog kills.
+    Nw = min(N, 65536)
+    ew, qw, hw = e0[:, :Nw], q0[:, :Nw], h0[:, :Nw]
+    nsub = jnp.full((Nw,), 13, jnp.int32)  # ceil(1.0 / 0.08)
     warm = jax.jit(lambda e, q, h: cm.solve_staggered_cm_core(
-        model, 1.0, d_cm, w_cm, e, q, h, 298.0, nsub))
+        model, 1.0, d_cm[:, :Nw], w_cm[:, :Nw], e, q, h, 298.0, nsub))
     for _ in range(8):
-        xw, h_end, _, _, _ = warm(e0, q0, h0)
-        e0, h0 = xw[:5], h_end
-    jax.block_until_ready(h0)
+        xw, h_end, _, _, _ = warm(ew, qw, hw)
+        ew, hw = xw[:5], h_end
+    jax.block_until_ready(hw)
+    reps_n = -(-N // Nw)  # ceil
+    e0 = jnp.tile(ew, (1, reps_n))[:, :N]
+    q0 = jnp.tile(qw, (1, reps_n))[:, :N]
+    h0 = jnp.tile(hw, (1, reps_n))[:, :N]
 
     Dsm = cm.vecd_to_mat_cm(d_cm)
     deff = jnp.sqrt(2.0 / 3.0 * jnp.sum(d_cm * d_cm, axis=0))
@@ -78,17 +87,12 @@ def build_inputs(model, N, dt, seed=0):
     return x0, h0, dts, d_cm, Dsm, w_cm, e0, q0, active
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("n", nargs="?", type=int, default=884736)
-    ap.add_argument("--dt", type=float, default=0.005)
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--tile", type=int, default=None)
-    ap.add_argument("--skip-pallas", action="store_true")
-    args = ap.parse_args()
-    if args.tile:
-        os.environ["EXACONSTIT_PALLAS_TILE"] = str(args.tile)
+def run_ab(N=884736, dt=0.005, reps=5, skip_pallas=False):
+    """Isolated XLA-vs-Pallas A/B of the f32 dogleg stage.
 
+    Returns a dict of measurements (times in seconds); importable from
+    bench.py so the round record carries the production-batch stage
+    comparison, not just the 16^3 full-step proxy."""
     jax.config.update("jax_enable_x64", True)  # production config
     from exaconstit_tpu.config.options import (ExaOptions, MechType,
                                                SlipType, XtalType)
@@ -104,12 +108,12 @@ def main():
     model = build_model(opt, props)
     ev = model.evptn
 
-    N = args.n
-    print(f"backend={jax.default_backend()} N={N} dt={args.dt} "
+    print(f"backend={jax.default_backend()} N={N} dt={dt} "
           f"tol={ev.fast_tol} max_iter={ev.solver_max_iter}", flush=True)
     x0, h0, dts, d_cm, Dsm, w_cm, e0, q0, active = build_inputs(
-        ev, N, args.dt)
+        ev, N, dt)
     temp_k = 298.0
+    res = {"n": N, "dt": dt}
 
     # ---- XLA stage ------------------------------------------------------
     def xla_stage(x0, h0, dts, Dsm, w_cm, e0, q0, active):
@@ -125,7 +129,7 @@ def main():
     out = xla_jit(x0, h0, dts, Dsm, w_cm, e0, q0, active)
     jax.block_until_ready(out)
     ts = []
-    for _ in range(args.reps):
+    for _ in range(reps):
         t0 = time.perf_counter()
         out = xla_jit(x0, h0, dts, Dsm, w_cm, e0, q0, active)
         jax.block_until_ready(out)
@@ -133,6 +137,8 @@ def main():
     t_xla = min(ts)
     iters = np.asarray(out[2])
     ok = np.asarray(out[1])
+    res.update(t_xla=t_xla, xla_conv=float(ok.mean()),
+               iters_mean=float(iters.mean()))
     print(f"XLA   : {t_xla*1e3:9.2f} ms  conv={ok.mean():.4f} "
           f"iters mean={iters.mean():.2f} max={iters.max()}", flush=True)
     try:
@@ -148,11 +154,13 @@ def main():
               f"{bts/t_xla/1e9:.1f} GB/s "
               f"({bts/t_xla/PEAK_HBM_BW*100:.1f}% HBM)", flush=True)
         print(f"  per point: {flops/N:.0f} FLOP, {bts/N:.0f} B", flush=True)
+        res.update(xla_flops_per_pt=flops / N, xla_bytes_per_pt=bts / N,
+                   xla_hbm_util=bts / t_xla / PEAK_HBM_BW)
     except Exception as e:
         print(f"cost analysis unavailable: {e}", flush=True)
 
-    if args.skip_pallas:
-        return
+    if skip_pallas:
+        return res
 
     # ---- Pallas stage ---------------------------------------------------
     def pl_stage(x0, h0, dts, d_cm, w_cm, e0, q0, active):
@@ -165,7 +173,7 @@ def main():
     outp = pl_jit(x0, h0, dts, d_cm, w_cm, e0, q0, active)
     jax.block_until_ready(outp)
     ts = []
-    for _ in range(args.reps):
+    for _ in range(reps):
         t0 = time.perf_counter()
         outp = pl_jit(x0, h0, dts, d_cm, w_cm, e0, q0, active)
         jax.block_until_ready(outp)
@@ -180,6 +188,22 @@ def main():
     print(f"SPEEDUP pallas/xla = {t_xla/t_pl:.3f}x", flush=True)
     dx = np.abs(np.asarray(out[0]) - np.asarray(outp[0])).max()
     print(f"max |x_xla - x_pallas| = {dx:.3e}", flush=True)
+    res.update(t_pallas=t_pl, pallas_conv=float(okp.mean()),
+               speedup=t_xla / t_pl, max_abs_diff=float(dx))
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n", nargs="?", type=int, default=884736)
+    ap.add_argument("--dt", type=float, default=0.005)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--tile", type=int, default=None)
+    ap.add_argument("--skip-pallas", action="store_true")
+    args = ap.parse_args()
+    if args.tile:
+        os.environ["EXACONSTIT_PALLAS_TILE"] = str(args.tile)
+    run_ab(args.n, args.dt, args.reps, args.skip_pallas)
 
 
 if __name__ == "__main__":

@@ -32,8 +32,13 @@ def main():
         assert conv
         sim.v = v; sim.x_cur = sim.x_beg + dt*v
         sim.state = state_end; sim.x_beg = sim.x_cur
-        el_x = sysm._gather(sim.x_cur)
-        av = np.asarray(sysm._vol_avg(stress, el_x, True))
+        if sysm.use_cm:
+            el_x = sysm._gather_cm(sim.x_cur)
+            stress_q = stress.reshape(6, sysm.fes.nqpts, -1)
+        else:
+            el_x = sysm._gather(sim.x_cur)
+            stress_q = stress
+        av = np.asarray(sysm._vol_avg(stress_q, el_x, True))
         g = GOLDEN[ti - 1]; gscale = np.abs(GOLDEN).max()
         err = np.abs(av - g).max() / gscale
         worst = max(worst, err)

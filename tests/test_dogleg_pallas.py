@@ -113,3 +113,26 @@ def test_pallas_through_staggered_solve():
                                np.asarray(out_ref[0]), rtol=0, atol=5e-9)
     np.testing.assert_allclose(np.asarray(out_pl[1]),
                                np.asarray(out_ref[1]), rtol=1e-8)
+
+
+def test_pallas_default_gating(monkeypatch):
+    """build_model defaults the kernel ON only for the real TPU backend
+    (on CPU it would run in interpreter mode); EXACONSTIT_PALLAS
+    overrides either way."""
+    from exaconstit_tpu.config.options import (ExaOptions, MechType,
+                                               SlipType, XtalType)
+    from exaconstit_tpu.models.ecmech import build_model
+    props = np.loadtxt("/root/reference/test/data/props_cp_voce.txt")
+    opt = ExaOptions()
+    opt.mech_type = MechType.EXACMECH
+    opt.xtal_type = XtalType.FCC
+    opt.slip_type = SlipType.POWERVOCE
+
+    monkeypatch.delenv("EXACONSTIT_PALLAS", raising=False)
+    expect = jax.default_backend() == "tpu"
+    assert build_model(opt, props).evptn.use_pallas == expect
+
+    monkeypatch.setenv("EXACONSTIT_PALLAS", "1")
+    assert build_model(opt, props).evptn.use_pallas is True
+    monkeypatch.setenv("EXACONSTIT_PALLAS", "0")
+    assert build_model(opt, props).evptn.use_pallas is False
