@@ -376,8 +376,24 @@ _MTSDD_CALIBRATION = {
 }
 
 
+def _spline_kin(kin, knots, log_f, c1_scale=None):
+    """Free-form-hardening SplineG kinetics from a KMBalD base."""
+    import dataclasses as _dc
+
+    from .kinetics import KMBalD as _KMBalD
+    from .kinetics import SplineG as _SplineG
+    vals = {f.name: getattr(kin, f.name) for f in _dc.fields(_KMBalD)}
+    if c1_scale is not None:
+        vals["c1"] = vals["c1"] * float(c1_scale)
+    return _SplineG(**vals, g_knots=tuple(knots),
+                    log_f=np.asarray(log_f, dtype=float))
+
+
 def _calibrated_kin(kin, row):
     import dataclasses as _dc
+    if isinstance(row, dict):  # identified free-form hardening map
+        return _spline_kin(kin, row["knots"], row["log_f"],
+                           row.get("c1_scale"))
     k1e, k2e, pa, pb = row[:4]
     upd = dict(k1=k1e, k2_0=k2e, prod_exponent=pa, recov_exponent=pb)
     if len(row) > 4:
@@ -397,18 +413,11 @@ def _apply_mtsdd_calibration(kin, xtal):
     # kinetics with the free-form-hardening SplineG variant.
     env_np = _os.environ.get("EXACONSTIT_MTSDD_CAL_NP")
     if env_np:
-        import dataclasses as _dc
-
-        from .kinetics import KMBalD as _KMBalD
-        from .kinetics import SplineG as _SplineG
         parts = env_np.split("|")
-        knots = tuple(float(v) for v in parts[0].split(","))
-        log_f = np.array([float(v) for v in parts[1].split(",")])
-        vals = {f.name: getattr(kin, f.name)
-                for f in _dc.fields(_KMBalD)}
-        if len(parts) > 2:
-            vals["c1"] = vals["c1"] * float(parts[2])
-        return _SplineG(**vals, g_knots=knots, log_f=log_f)
+        return _spline_kin(kin,
+                           [float(v) for v in parts[0].split(",")],
+                           [float(v) for v in parts[1].split(",")],
+                           float(parts[2]) if len(parts) > 2 else None)
 
     # Identification hook (scripts/fit_mtsdd5.py): override the table
     # with "FCC:k1,k2,a,b[,s_scale,c1_scale][;BCC:...]" without editing

@@ -115,7 +115,10 @@ def make_curve_np(model0, quats, w, dts, knots, with_c1, sens):
 
 
 def init_theta(xtal, knots, with_c1, gold, dts):
-    """Seed log_f from the implied dg/dGamma chain (crude Taylor link)."""
+    """Seed log_f from the implied dg/dGamma chain (crude Taylor link).
+
+    `gold` may be any target curve (e.g. the ratio-corrected
+    space-mapping target), not just the golden itself."""
     mu, tK = 47.26, 298.0
     c1, tau_a = 1.944106926e3, 4.0e-4
     M = 3.06 if xtal == "fcc" else 2.75
@@ -334,6 +337,21 @@ def main():
             print(f"  regressed (best {best[0]:.4e})", flush=True)
             theta, ratio = best[1].copy(), best[2]
         target = gold / ratio
+        # two candidate starts: the current theta, and an implied-law
+        # reseed built directly from the corrected target (the LM from
+        # a stale theta stalls when the ratio correction demands a big
+        # coordinated move — the reseed jumps there in one step)
+        reseed = init_theta(args.xtal, knots, args.c1, target, dts)
+        l_cur = float(np.sqrt(np.mean((
+            (np.asarray(curve(jnp.asarray(theta))[0]) - target)
+            / scale) ** 2)))
+        l_re = float(np.sqrt(np.mean((
+            (np.asarray(curve(jnp.asarray(reseed))[0]) - target)
+            / scale) ** 2)))
+        print(f"  start: current loss={l_cur:.4e} reseed loss={l_re:.4e}",
+              flush=True)
+        if l_re < l_cur:
+            theta = reseed
         theta = lm_fit(curve, jac, theta, target, scale,
                        args.lm_iters, f"r{rnd}")
 
