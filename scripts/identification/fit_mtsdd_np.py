@@ -219,7 +219,19 @@ def estimate_sens(model0, quats, w, dts, knots, with_c1, theta):
     return (l1 - l0) / eps
 
 
-def lm_fit(curve, jac, theta, target, scale, iters, tag):
+def save_ckpt(path, knots, theta, ratio, rnd, loss):
+    """Persist the fit state so a killed session can resume."""
+    if not path:
+        return
+    import json
+    with open(path, "w") as f:
+        json.dump({"knots": list(map(float, knots)),
+                   "theta": list(map(float, theta)),
+                   "ratio": list(map(float, ratio)),
+                   "round": int(rnd), "loss": float(loss)}, f)
+
+
+def lm_fit(curve, jac, theta, target, scale, iters, tag, on_accept=None):
     lam = 1e-2
     t0 = time.time()
     for it in range(iters):
@@ -240,6 +252,8 @@ def lm_fit(curve, jac, theta, target, scale, iters, tag):
             if l_new < loss:
                 theta, lam = th_new, max(lam / 3, 1e-7)
                 improved = True
+                if on_accept is not None:
+                    on_accept(theta, l_new)
                 break
             lam *= 10
         print(f"  [{tag}] it{it:2d} loss={loss:.4e}"
@@ -260,6 +274,9 @@ def main():
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--lm-iters", type=int, default=15)
     ap.add_argument("--fem-log", default=None)
+    ap.add_argument("--ckpt", default=None,
+                    help="JSON checkpoint path (saved on every accepted "
+                         "LM step; pass an existing one to resume theta)")
     args = ap.parse_args()
 
     quats, w = load_aggregate()
@@ -274,8 +291,16 @@ def main():
     knots = np.linspace(g0 * 0.999, g_max, args.knots)
     scale = gold.max()
 
+    resumed_ratio = None
     if args.theta:
         theta = np.array([float(v) for v in args.theta.split(",")])
+    elif args.ckpt and os.path.exists(args.ckpt):
+        import json
+        ck = json.load(open(args.ckpt))
+        theta = np.array(ck["theta"])
+        resumed_ratio = np.array(ck["ratio"])
+        print(f"resumed ckpt round={ck['round']} loss={ck['loss']:.4e}",
+              flush=True)
     else:
         theta = init_theta(args.xtal, knots, args.c1, gold, dts)
     print(f"knots={np.array2string(knots, precision=5)}", flush=True)
@@ -312,7 +337,9 @@ def main():
         return
 
     # ---- fem: space-mapping loop (fit_mtsdd5 structure) ----------------
-    best = (np.inf, theta.copy(), np.ones(len(gold)))
+    best = (np.inf, theta.copy(),
+            resumed_ratio if resumed_ratio is not None
+            else np.ones(len(gold)))
     for rnd in range(args.rounds):
         if rnd == 0 and args.fem_log:
             rows = parse_fem_log(open(args.fem_log).read())
@@ -353,10 +380,14 @@ def main():
         if l_re < l_cur:
             theta = reseed
         theta = lm_fit(curve, jac, theta, target, scale,
-                       args.lm_iters, f"r{rnd}")
+                       args.lm_iters, f"r{rnd}",
+                       on_accept=lambda th, l, _r=ratio, _n=rnd: save_ckpt(
+                           args.ckpt, knots, th, _r, _n, l))
 
     print(f"BEST {args.xtal}: FEM max-rel={best[0]:.4e}")
     print("theta=" + ",".join(f"{v:.8g}" for v in best[1]))
+    if args.ckpt:
+        save_ckpt(args.ckpt + ".best", knots, best[1], best[2], -1, best[0])
 
 
 if __name__ == "__main__":
