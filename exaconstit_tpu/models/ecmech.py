@@ -363,14 +363,27 @@ _MTSDD_CALIBRATION = {
     # elastic-plastic transition (scripts/fit_mtsdd4.py, FEM
     # offset-corrected fit, rms 2.4e-3 on the Taylor surrogate).
     (3.0e-4, 5e-5): {
-        # 6-param space-mapping best (scripts/fit_mtsdd5.py, fresh-FEM
-        # offsets with trust-boxed LM + best-point backtracking):
-        # measured on the real FEM regression case over golden steps
-        # 1-29 (scripts/mtsdd_fem_curve.py, 2026-08-18): peak max-rel
-        # 1.74e-2 at the hardening knee (step 20), declining
-        # monotonically through the dt ramp (8.1e-3 by step 29, dt=0.4).
-        XtalType.FCC: (0.0563194, 353.85, -1.53077, 1.50764,
-                       0.963243, 0.502862),
+        # Free-form hardening map identified by FEM-in-the-loop space
+        # mapping (scripts/identification/fit_mtsdd_np.py): the density
+        # evolution is replaced by dg/dGamma = exp(pwl(g; knots, log_f))
+        # on the slip strength itself — a strict superset of every
+        # (k1, k2, a, b) Kocks-Mecking family expressed through
+        # g = go + s*sqrt(rho) — plus one activation-energy scale on
+        # c_1.  Identified against the golden curves through the REAL
+        # FEM regression cases (ratio-corrected Levenberg-Marquardt on
+        # a relaxed-Taylor surrogate with exact forward sensitivities).
+        # Superseded the 6-param parametric row (1.74e-2 knee floor):
+        # the knee residual was a hardening-structure limitation after
+        # all, resolvable only outside the parametric family.
+        XtalType.FCC: {
+            "knots": [0.010989, 0.01278494, 0.01458087, 0.01637681,
+                      0.01817275, 0.01996869, 0.02176462, 0.02356056,
+                      0.0253565, 0.02715244, 0.02894837, 0.03074431],
+            "log_f": [35.375052, 13.557069, 11.232753, 3.617477,
+                      3.314487, 2.015299, 2.03317, 1.500726,
+                      0.752814, 0.304757, -1.251346, -9.333026],
+            "c1_scale": 1.0370107238143504,
+        },
         XtalType.BCC: (64.331, 702.32, 0.0, 1.0),
     },
 }

@@ -40,11 +40,12 @@ def run_case(tmp_path, toml_name, nsteps=None):
 
 
 def compare_file(got_path, golden_path, rel_tol):
-    got = np.loadtxt(got_path)
-    ref = np.loadtxt(golden_path)
-    # single-column files load as (n,): keep rows as the leading axis
-    got = got.reshape(len(got), -1) if got.ndim == 1 else np.atleast_2d(got)
-    ref = ref.reshape(len(ref), -1) if ref.ndim == 1 else np.atleast_2d(ref)
+    # ndmin=2 preserves the file's row/column structure: a single-ROW
+    # 6-component stress line loads as (1, 6) and a single-COLUMN
+    # scalar history as (n, 1) — the old 1-D reshape(len, -1) guess
+    # mangled one-row files into (6, 1) and broadcast the comparison
+    got = np.loadtxt(got_path, ndmin=2)
+    ref = np.loadtxt(golden_path, ndmin=2)
     n = min(len(got), len(ref))
     got, ref = got[:n], ref[:n]
     scale = max(np.abs(ref).max(), 1e-30)
