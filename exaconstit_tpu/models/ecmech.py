@@ -376,13 +376,23 @@ _MTSDD_CALIBRATION = {
         # the knee residual was a hardening-structure limitation after
         # all, resolvable only outside the parametric family.
         XtalType.FCC: {
+            # Converged space-mapping fit (fitnp_fcc_ckpt.json round 4;
+            # the r5 re-measure reproduced the same curve): full-FEM
+            # szz max-rel 2.116e-3 over the golden ramp.  All-component
+            # floor is 8.4e-3, carried by the tiny shear components
+            # (golden max 0.57% of scale): the golden shears SATURATE
+            # right after yield while every member of the documented
+            # model class grows them with strain — frozen across
+            # hardening maps spanning szz errors 0.2%..14% and across
+            # every kinetics knob (c1, wr_d, tau_a, p/q); see
+            # scripts/identification/shear_probe.py.
             "knots": [0.010989, 0.01278494, 0.01458087, 0.01637681,
                       0.01817275, 0.01996869, 0.02176462, 0.02356056,
                       0.0253565, 0.02715244, 0.02894837, 0.03074431],
-            "log_f": [35.375052, 13.557069, 11.232753, 3.617477,
-                      3.314487, 2.015299, 2.03317, 1.500726,
-                      0.752814, 0.304757, -1.251346, -9.333026],
-            "c1_scale": 1.0370107238143504,
+            "log_f": [36.674222, 13.532857, 11.243521, 3.630117,
+                      3.346182, 2.024460, 2.030811, 1.496569,
+                      0.756925, 0.304698, -1.257315, -9.361863],
+            "c1_scale": 1.0359223763912433,
         },
         XtalType.BCC: (64.331, 702.32, 0.0, 1.0),
     },

@@ -37,6 +37,22 @@ import jax.numpy as jnp
 
 from ..utils import tensors as tn
 
+
+def _sqrt_ad_safe(s):
+    """sqrt(s) with a zero (not NaN) forward-mode tangent at s == 0.
+
+    The identification fitters jacfwd through this solver; lanes sitting
+    exactly at zero plastic flow (e.g. the BCC elastic branch, where the
+    athermal window makes gdots identically zero) produce s == 0 with a
+    nonzero tangent, and d sqrt = t / (2 sqrt(0)) poisons the whole
+    parameter Jacobian from the elastic-plastic knee onward
+    (scripts/identification/bcc_jac_probe.py).  The subgradient 0 is the
+    correct choice for every use here (norms and norm-like quantities).
+    """
+    pos = s > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # component-major quaternion / rotation helpers (arrays (C, N))
 # ---------------------------------------------------------------------------
@@ -347,13 +363,13 @@ def dogleg_cm(resjac_fn, x0, tol, max_iter, active0=None):
     tiny = float(jnp.finfo(dtype).tiny)
 
     r0, J0 = resjac_fn(x0)
-    rnorm0 = jnp.sqrt(jnp.sum(r0 * r0, axis=0))
+    rnorm0 = _sqrt_ad_safe(jnp.sum(r0 * r0, axis=0))
     if active0 is None:
         active0 = jnp.ones((N,), bool)
     done0 = jnp.logical_or(rnorm0 < tol, jnp.logical_not(active0))
 
     def norm0ax(v):
-        return jnp.sqrt(jnp.sum(v * v, axis=0))
+        return _sqrt_ad_safe(jnp.sum(v * v, axis=0))
 
     def cond(state):
         x, r, J, delta, it, done, iters = state
@@ -380,7 +396,7 @@ def dogleg_cm(resjac_fn, x0, tol, max_iter, active0=None):
         b = 2.0 * jnp.sum(p_cauchy * d, axis=0)
         c = jnp.sum(p_cauchy * p_cauchy, axis=0) - delta * delta
         disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
-        beta = (-b + jnp.sqrt(disc)) / jnp.maximum(2.0 * a, tiny)
+        beta = (-b + _sqrt_ad_safe(disc)) / jnp.maximum(2.0 * a, tiny)
         beta = jnp.clip(beta, 0.0, 1.0)
         p_dog = p_cauchy + beta[None] * d
         p_desc = -(delta / jnp.maximum(norm0ax(g), tiny))[None] * g
@@ -488,7 +504,7 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
     nsub = jnp.asarray(nsub, jnp.int32)
     max_sub = model.max_substeps if model.substep_cap > 0.0 else 1
     dt_sub = dt / nsub.astype(dtype)  # (N,)
-    deff = jnp.sqrt(2.0 / 3.0 * jnp.sum(d_cm * d_cm, axis=0))  # (N,)
+    deff = _sqrt_ad_safe(2.0 / 3.0 * jnp.sum(d_cm * d_cm, axis=0))  # (N,)
 
     use_mixed = model.mixed_precision and dtype == jnp.float64
     kin = model.kinetics
@@ -898,8 +914,8 @@ def outputs_from_solution_cm(model, dt, d_cm, w_cm, v0, v1, e_int_n, e0,
     s_sm_vecd = mv_cm(q5, s_lat) / v1[None]
     pressure = model.eos.pressure(v1, e_int_n)
 
-    shrate_eff = _SQR2B3 * jnp.sqrt(jnp.sum(dp_lat * dp_lat, axis=0))
-    deff = _SQR2B3 * jnp.sqrt(jnp.sum(d_cm * d_cm, axis=0))
+    shrate_eff = _SQR2B3 * _sqrt_ad_safe(jnp.sum(dp_lat * dp_lat, axis=0))
+    deff = _SQR2B3 * _sqrt_ad_safe(jnp.sum(d_cm * d_cm, axis=0))
     pl_work_rate = jnp.sum(taus * gd, axis=0) / v1
     flow_str = pl_work_rate / jnp.maximum(deff, 1e-30)
     e_int = e_int_n + dt * pl_work_rate * v1 - pressure * (v1 - v0)

@@ -1,0 +1,124 @@
+"""Probe: which kinetics knob controls the aggregate SHEAR shape?
+
+The FCC free-form hardening fit lands szz at 2.1e-3 but the FEM shear
+components are wrong by more than their own magnitude (s23 err 8.4e-3
+of scale vs a component max of 5.7e-3): the golden shears SATURATE
+right after yield while ours keep growing with strain — and across
+hardening maps whose szz error spans 0.2%..14% the shear error is
+frozen (0.70%..0.85%), so the shear shape is NOT a hardening-law
+observable.  This probe computes the full 6-component relaxed-Taylor
+aggregate stress over the ramp for the fitted row and a grid of
+kinetics variants (c1 scale, drag stress wr_d, tau_a, p/q) to find
+which knob (if any) flattens the shear while szz stays fittable.
+
+Usage: python shear_probe.py [fcc|bcc] [nsteps]
+"""
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("EXACONSTIT_MTSDD_CAL", "file")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+from fit_mtsdd3 import RATE, base_model, load_aggregate  # noqa: E402
+from fit_mtsdd_np import spline_kin  # noqa: E402
+
+DATA = "/root/reference/test/data"
+
+
+def full_curve(model0, quats, w, dts, kin, sens):
+    """All-6-component relaxed-Taylor aggregate curve (in-step beta
+    Newton, as fit_mtsdd_np.make_curve_np)."""
+    ev = dataclasses.replace(model0.evptn, kinetics=kin)
+    model = dataclasses.replace(model0, evptn=ev)
+    state0 = jnp.asarray(model.init_state(quats))
+    wj = jnp.asarray(w)
+    n = quats.shape[0]
+
+    @jax.jit
+    def run():
+        def eval_at(beta, state, dt):
+            L = jnp.zeros((n, 3, 3))
+            L = L.at[:, 0, 0].set(-beta * RATE)
+            L = L.at[:, 1, 1].set(-beta * RATE)
+            L = L.at[:, 2, 2].set(RATE)
+            stress, s_end, _ = model.model_setup(dt, L, state,
+                                                 compute_tangent=False)
+            avg = wj @ stress  # (6,)
+            lat = 0.5 * (avg[0] + avg[1])
+            return avg, lat, s_end
+
+        def step(carry, xs):
+            state, beta = carry
+            dt, sens_k = xs
+            for _ in range(3):
+                _, lat, _ = eval_at(beta, state, dt)
+                beta = jnp.clip(beta - lat / sens_k, 0.0, 1.0)
+            avg, lat, s_end = eval_at(beta, state, dt)
+            beta_next = jnp.clip(beta - lat / sens_k, 0.0, 1.0)
+            return (s_end, beta_next), avg
+
+        (_, _), avgs = lax.scan(step, (state0, jnp.asarray(0.45)),
+                                (jnp.asarray(dts), jnp.asarray(sens)))
+        return avgs
+
+    return run
+
+
+def main():
+    xtal = sys.argv[1] if len(sys.argv) > 1 else "fcc"
+    nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    quats, w = load_aggregate()
+    gf = ("mtsdd_full_stress.txt" if xtal == "fcc"
+          else "mtsdd_bcc_stress.txt")
+    gold = np.loadtxt(os.path.join(DATA, gf))[:nsteps]
+    dts = np.loadtxt(os.path.join(DATA, "custom_dt.txt"))[:nsteps]
+    m0 = base_model(xtal)
+    kin0 = m0.evptn.kinetics
+
+    # fitted free-form row (the baked calibration)
+    from exaconstit_tpu.models.ecmech import _MTSDD_CALIBRATION
+    from exaconstit_tpu.config.options import XtalType
+    xt = XtalType.FCC if xtal == "fcc" else XtalType.BCC
+    row = _MTSDD_CALIBRATION[(3.0e-4, 5e-5)][xt]
+    base_kin = spline_kin(kin0, np.asarray(row["knots"]),
+                          np.asarray(row["log_f"]),
+                          row.get("c1_scale"))
+
+    from fit_mtsdd_np import estimate_sens
+    th = np.concatenate([np.asarray(row["log_f"]),
+                         [np.log(row.get("c1_scale", 1.0))]])
+    sens = estimate_sens(m0, quats, w, dts, np.asarray(row["knots"]),
+                         True, th)
+
+    variants = [
+        ("fitted", {}),
+        ("c1x1.5", {"c1": kin0.c1 * 1.5 * row.get("c1_scale", 1.0)}),
+        ("c1x0.67", {"c1": kin0.c1 * 0.67 * row.get("c1_scale", 1.0)}),
+        ("wrd/10", {"wr_d": kin0.wr_d / 10}),
+        ("wrdx10", {"wr_d": kin0.wr_d * 10}),
+        ("tau_ax10", {"tau_a": kin0.tau_a * 10}),
+        ("p.5q1.5", {"p": 0.5, "q": 1.5}),
+    ]
+    print(f"golden s23 profile: {np.round(gold[::4, 3], 5)}")
+    for name, upd in variants:
+        kin = dataclasses.replace(base_kin, **upd) if upd else base_kin
+        t0 = time.time()
+        avgs = np.asarray(full_curve(m0, quats, w, dts, kin, sens)())
+        el = time.time() - t0
+        e_zz = np.abs(avgs[:, 2] - gold[:, 2]).max() / np.abs(gold).max()
+        print(f"[{name:9s}] ({el:5.1f}s) szz-err={e_zz:.3e}")
+        print(f"  s23: {np.round(avgs[::4, 3], 5)}")
+        print(f"  s13: {np.round(avgs[::4, 4], 5)}")
+        print(f"  s12: {np.round(avgs[::4, 5], 5)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -95,19 +95,29 @@ CS_CASES = [
 ]
 
 MTSDD_CASES = [
-    # xfail: the effective Kocks-Mecking evolution constants are being
-    # identified against the goldens (ExaCMech source unavailable; the
-    # documented parameter reading hardens orders of magnitude too slowly
-    # -- see scripts/fit_mtsdd.py).  Kinetics/solver paths are exercised
-    # by tests/test_material.py in the meantime.
-    pytest.param("mtsdd_full.toml", "mtsdd_full_stress.txt", 2e-2,
-                 marks=pytest.mark.xfail(strict=False,
-                                         reason="KM constants calibration"
-                                         " in progress")),
+    # FCC: gated (no xfail) on the FEM-in-the-loop free-form hardening
+    # identification (scripts/identification/fit_mtsdd_np.py; see the
+    # models/ecmech.py _MTSDD_CALIBRATION notes).  The measured floor
+    # decomposes per component: szz (the driven observable) at 2.12e-3,
+    # all-component at 8.38e-3 — the residual is the tiny shear
+    # components (golden max 0.57% of scale), whose post-yield
+    # SATURATION the documented model family cannot produce: across
+    # hardening maps spanning szz errors 0.2%..14% and across every
+    # kinetics knob (c1, wr_d, tau_a, p/q) the shear profile is frozen
+    # (scripts/identification/shear_probe.py), so 8.4e-3 is the
+    # quantified floor of the entire documented class, not a fitting
+    # shortfall.  Gate 1e-2 (same 1.2x headroom policy as voce's
+    # 2.39e-4 -> 4e-4).  The 2-step default covers the elastic step and
+    # the dt=0.195 knee-onset step; the full 40-step ramp gates on the
+    # TPU leg (tests/test_full_regression_tpu.py) and under
+    # EXACONSTIT_FULL_REGRESSION=1.
+    ("mtsdd_full.toml", "mtsdd_full_stress.txt", 1e-2),
+    # BCC: the same free-form identification is in flight; until its
+    # row lands the parametric 4-param row floors at ~1.7e-2.
     pytest.param("mtsdd_bcc.toml", "mtsdd_bcc_stress.txt", 2e-2,
                  marks=pytest.mark.xfail(strict=False,
-                                         reason="KM constants calibration"
-                                         " in progress")),
+                                         reason="BCC free-form hardening"
+                                         " identification in flight")),
 ]
 
 
@@ -129,13 +139,13 @@ def test_const_strain_rate_regression(tmp_path, case, golden, tol):
 
 @pytest.mark.parametrize("case,golden,tol", MTSDD_CASES)
 def test_mtsdd_regression(tmp_path, case, golden, tol):
-    # 1 default step: the pure-f64 MTSDD point solve is the suite's
-    # most expensive per-step cost on the single-core CPU runner (the
-    # BCC 2-step case alone was 12 min of the 63-min round-2 suite),
-    # and the cases are xfail-documented floors either way — the
-    # default run covers parse/build/f64-solve/golden-compare; the
-    # full ramp runs under EXACONSTIT_FULL_REGRESSION=1
-    nsteps = None if FULL else 1
+    # 2 default steps (elastic + the dt=0.195 knee onset, the hardest
+    # plastic step): the pure-f64 MTSDD point solve is the suite's most
+    # expensive per-step cost on the single-core CPU runner, so the
+    # default trims here and the full ramp runs on the TPU leg
+    # (test_full_regression_tpu.py) and under
+    # EXACONSTIT_FULL_REGRESSION=1
+    nsteps = None if FULL else 2
     opt, sim = run_case(tmp_path, case, nsteps)
     compare_stress(tmp_path, opt, golden, rel_tol=tol)
 
