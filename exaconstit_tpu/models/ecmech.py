@@ -386,6 +386,12 @@ _MTSDD_CALIBRATION = {
             # hardening maps spanning szz errors 0.2%..14% and across
             # every kinetics knob (c1, wr_d, tau_a, p/q); see
             # scripts/identification/shear_probe.py.
+            # VALIDITY: identified against this loading path / rate /
+            # temperature only; outside the fitted strength window
+            # g in [0.0110, 0.0307] the map flat-extrapolates (the
+            # e^36.7 first knot dominates below it).  The row is pinned
+            # behind the exact (k1, k2_0) props-key match above so no
+            # other parameter set can pick it up silently.
             "knots": [0.010989, 0.01278494, 0.01458087, 0.01637681,
                       0.01817275, 0.01996869, 0.02176462, 0.02356056,
                       0.0253565, 0.02715244, 0.02894837, 0.03074431],

@@ -50,7 +50,11 @@ def _sqrt_ad_safe(s):
     correct choice for every use here (norms and norm-like quantities).
     """
     pos = s > 0.0
-    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
+    # s * 0.0 instead of a literal 0.0: it is 0 for s == 0 (keeping the
+    # zero tangent) but NaN for NaN input, so a poisoned lane still
+    # reports rnorm = NaN -> non-converged instead of silently "solved
+    # at x0 with rnorm 0" in the staggered production solve.
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), s * 0.0)
 
 
 # ---------------------------------------------------------------------------

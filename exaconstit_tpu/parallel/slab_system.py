@@ -359,6 +359,15 @@ class SlabMechSystem(MechSystem):
             matvec_unc_jit(k_data, xflat, self._conn_l, self._send_up,
                            self._recv_dn, self._send_dn, self._recv_up, 0.0)
 
+        def lower_grad_matvec_unconstrained(k_data, xflat):
+            """AOT-lower the unconstrained Jacobian matvec (for tests that
+            inspect the compiled HLO, e.g. halo-traffic accounting)."""
+            return matvec_unc_jit.lower(
+                k_data, xflat, self._conn_l, self._send_up,
+                self._recv_dn, self._send_dn, self._recv_up, 0.0)
+
+        self.lower_grad_matvec_unconstrained = lower_grad_matvec_unconstrained
+
         # ---- norms / gathers / averages -------------------------------------
         def norm_k(r, owner3, _dt):
             return jnp.sqrt(pdot(r, r, owner3))

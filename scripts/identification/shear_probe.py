@@ -88,6 +88,10 @@ def main():
     from exaconstit_tpu.config.options import XtalType
     xt = XtalType.FCC if xtal == "fcc" else XtalType.BCC
     row = _MTSDD_CALIBRATION[(3.0e-4, 5e-5)][xt]
+    if not isinstance(row, dict):
+        sys.exit(f"{xtal}: free-form calibration row not yet identified "
+                 f"(still the parametric tuple {row}); run "
+                 f"fit_mtsdd_np.py --xtal {xtal} first")
     base_kin = spline_kin(kin0, np.asarray(row["knots"]),
                           np.asarray(row["log_f"]),
                           row.get("c1_scale"))

@@ -69,7 +69,7 @@ def test_halo_comm_is_surface_not_volume():
         slab, mesh = _slab_problem(nz)
         kd = jnp.zeros((slab.ne_pad, 24, 24), jnp.float64)
         x0 = jnp.asarray(slab.to_local_nodes(np.zeros((mesh.num_nodes, 3))))
-        lowered = slab._grad_matvec_unconstrained.lower(
+        lowered = slab.lower_grad_matvec_unconstrained(
             kd, x0.reshape(-1))
         hlo = lowered.compile().as_text()
         measured[nz] = _collective_permute_bytes(hlo)
