@@ -385,19 +385,37 @@ class MechSystem:
             force = ops.residual_force_cm(el_x, self.dshape, self.qwts,
                                           stress_q)
             force = force * emask_c[None, None, :]
-            k_cm = ops.assemble_ea_gradient_cm(el_x, self.dshape, self.qwts,
-                                               c6_q, dt)
-            k_cm = con(k_cm * emask_c[None, None, :])
-            dloc = ops.ea_diagonal_cm(k_cm, ref.nnodes)
-            if self._ea_dtype is not None:
-                # store the EA blocks in f32 (the diagonal above is taken
-                # at full precision): the Krylov inner loop already runs
-                # f32, and the f64 residual replay refines against the
-                # f32-block operator consistently — inexact Newton with a
-                # ~1e-7-relative Jacobian, while the f64-emulated block
-                # array (the largest resident at 64^3: 24*24*ne*16 B =
-                # 2.4 GB) halves
-                k_cm = k_cm.astype(self._ea_dtype)
+            if self._ea_asm_f32 and el_x.dtype == jnp.float64:
+                # compute the 24x24 EA block build ITSELF in f32: the
+                # setup-phase split (scripts/identification/
+                # setup_phase_split.py) measured this assembly at 59% of
+                # the fused setup in emulated f64, while its consumers
+                # are f32 already (the mixed-precision Krylov inner loop)
+                # or tolerance-insensitive (the Jacobi diagonal).  The
+                # f64 residual replay in pcg_refined accumulates in f64
+                # against the f32-block operator — inexact Newton with a
+                # ~1e-7-relative Jacobian, the same configuration the
+                # 64^3 capacity path validated at 6e-9 solution
+                # difference.  The Newton residual r stays full f64, so
+                # convergence semantics and golden parity are unchanged.
+                f32 = jnp.float32
+                k_cm = ops.assemble_ea_gradient_cm(
+                    el_x.astype(f32), self.dshape.astype(f32),
+                    self.qwts.astype(f32), c6_q.astype(f32),
+                    jnp.asarray(dt, f32))
+                k_cm = con(k_cm * emask_c[None, None, :].astype(f32))
+                dloc = ops.ea_diagonal_cm(k_cm,
+                                          ref.nnodes).astype(el_x.dtype)
+            else:
+                k_cm = ops.assemble_ea_gradient_cm(el_x, self.dshape,
+                                                   self.qwts, c6_q, dt)
+                k_cm = con(k_cm * emask_c[None, None, :])
+                dloc = ops.ea_diagonal_cm(k_cm, ref.nnodes)
+                if self._ea_dtype is not None:
+                    # store the EA blocks in f32 (the diagonal above is
+                    # taken at full precision): halves the largest
+                    # resident array at 64^3 (24*24*ne*16 B = 2.4 GB)
+                    k_cm = k_cm.astype(self._ea_dtype)
             return force, k_cm, dloc, stress_q, state_end, x_sol
 
         # Element chunking of the fused setup (production-size meshes):
@@ -436,6 +454,22 @@ class MechSystem:
         else:
             ea_f32 = env_f32 == "1"
         self._ea_dtype = jnp.float32 if ea_f32 else None
+        # EA-ASSEMBLY precision (round-4 verdict item 4): compute the
+        # block build in f32, not just store it.  Default on under x64
+        # for mixed-precision-capable kinetics (power-law Voce — the
+        # same gate as the point solve's f32 stage; MTSDD keeps full-f64
+        # assembly to protect its ill-conditioned transition).  Override
+        # with EXACONSTIT_EA_ASM_F32=0/1.
+        env_asm = os.environ.get("EXACONSTIT_EA_ASM_F32", "auto")
+        if env_asm == "auto":
+            ea_asm_f32 = (jax.config.jax_enable_x64
+                          and getattr(getattr(model, "evptn", None),
+                                      "mixed_precision", False))
+        else:
+            ea_asm_f32 = env_asm == "1"
+        self._ea_asm_f32 = ea_asm_f32
+        if ea_asm_f32:
+            self._ea_dtype = jnp.float32
 
         def _slice_e(a, e0, nec):
             """Contiguous element chunk [e0, e0+nec) along the last axis."""
@@ -652,6 +686,55 @@ class MechSystem:
 
         self._grad_matvec_unconstrained = jax.jit(grad_matvec_unconstrained)
 
+        self._grad_matvec = grad_matvec
+        self._mesh = mesh
+        self.rebuild_krylov(os.environ.get(
+            "EXACONSTIT_PRECOND", getattr(opt, "krylov_precond", "jacobi")))
+        self._setup_raw = setup_fn_cm if self.use_cm else setup_fn
+
+        def vol_avg(values_q, el_x, divide):
+            """Volume-weighted average (or integral) of a qpt field.
+
+            Layout-dispatching: CM values (k, nq, ne) with el_x
+            (3, nen, ne); point-major values (ne, nq, k) with el_x
+            (ne, nen, 3)."""
+            if self.use_cm:
+                wts = ops.quad_point_volumes_cm(el_x, self.dshape,
+                                                self.qwts)
+                wts = wts * self.elem_mask[None, :]
+                s = jnp.einsum("qe,kqe->k", wts, values_q)
+            else:
+                wts = ops.quad_point_volumes(el_x, self.dshape, self.qwts)
+                wts = wts * self.elem_mask[:, None]
+                s = jnp.einsum("eq,eqk->k", wts, values_q)
+            if divide:
+                return s / jnp.sum(wts)
+            return s
+
+        self._vol_avg = jax.jit(vol_avg, static_argnums=(2,))
+
+        def norm_fn(r):
+            return jnp.linalg.norm(r)
+
+        self._norm_raw = norm_fn
+        self._norm = jax.jit(norm_fn)
+
+    def rebuild_krylov(self, precond_kind="jacobi"):
+        """(Re)build the jitted Krylov solve for a preconditioner choice.
+
+        Separated from __init__ so the preconditioner ("jacobi"/"gmg")
+        can be swapped on a live system WITHOUT recompiling the fused
+        setup program — the expensive compile at production mesh sizes
+        (the bench's GMG-vs-Jacobi A/B reuses one system).
+
+        The GMG preconditioner is the role BoomerAMG plays in the
+        reference (src/system_driver.cpp:116-150 — Jacobi-PCG iteration
+        counts grow with resolution): a Chebyshev-smoothed V-cycle on
+        the voxel hierarchy, single-device CM EA path only.
+        """
+        opt = self.opt
+        mesh = self._mesh
+        grad_matvec = self._grad_matvec
         if opt.solver == KrylovSolver.PCG:
             krylov = pcg
         elif opt.solver == KrylovSolver.MINRES:
@@ -668,20 +751,12 @@ class MechSystem:
                        and getattr(opt, "mixed_krylov", True)
                        and jax.config.jax_enable_x64)
 
-        # Geometric-multigrid preconditioner on the voxel hierarchy (the
-        # role BoomerAMG plays in the reference, system_driver.cpp:116-150
-        # — Jacobi-PCG iteration counts grow with resolution).  Available
-        # for the single-device component-major EA path on structured
-        # meshes; select with Solvers.Krylov.precond = "gmg" or
-        # EXACONSTIT_PRECOND=gmg.
         gmg_meta = None
-        precond_kind = os.environ.get(
-            "EXACONSTIT_PRECOND", getattr(opt, "krylov_precond", "jacobi"))
         if (precond_kind == "gmg" and self.use_cm
                 and getattr(mesh, "structure", None) is not None
                 and self.fes.ref.nnodes == 8
                 and opt.solver == KrylovSolver.PCG
-                and device_mesh is None):
+                and self.device_mesh is None):
             from .solvers.gmg import GMGMeta
             meta = GMGMeta(mesh.structure)
             if meta.usable:
@@ -693,6 +768,7 @@ class MechSystem:
             print("gmg preconditioner requires the single-device CM EA "
                   "path on a structured order-1 mesh; using Jacobi")
         ne_real = self.fes.num_elems
+        self.precond_kind = "gmg" if gmg_meta is not None else "jacobi"
 
         def krylov_solve(k_data, diag, b, ess_mask_flat):
             matvec = lambda x: grad_matvec(k_data, x, ess_mask_flat)
@@ -730,35 +806,7 @@ class MechSystem:
                           opt.krylov_abs_tol, opt.krylov_iter)
 
         self._krylov = jax.jit(krylov_solve)
-        self._setup_raw = setup_fn_cm if self.use_cm else setup_fn
         self._krylov_raw = krylov_solve
-
-        def vol_avg(values_q, el_x, divide):
-            """Volume-weighted average (or integral) of a qpt field.
-
-            Layout-dispatching: CM values (k, nq, ne) with el_x
-            (3, nen, ne); point-major values (ne, nq, k) with el_x
-            (ne, nen, 3)."""
-            if self.use_cm:
-                wts = ops.quad_point_volumes_cm(el_x, self.dshape,
-                                                self.qwts)
-                wts = wts * self.elem_mask[None, :]
-                s = jnp.einsum("qe,kqe->k", wts, values_q)
-            else:
-                wts = ops.quad_point_volumes(el_x, self.dshape, self.qwts)
-                wts = wts * self.elem_mask[:, None]
-                s = jnp.einsum("eq,eqk->k", wts, values_q)
-            if divide:
-                return s / jnp.sum(wts)
-            return s
-
-        self._vol_avg = jax.jit(vol_avg, static_argnums=(2,))
-
-        def norm_fn(r):
-            return jnp.linalg.norm(r)
-
-        self._norm_raw = norm_fn
-        self._norm = jax.jit(norm_fn)
 
     def _warm_zeros(self, dtype):
         """Cold warm-start carry (component-major solution layout)."""
@@ -889,7 +937,7 @@ class MechSystem:
                     v, xw, ok = carry
                     r, kd, dg, _, _, xs = self._setup_raw(
                         v, x_beg, state, dt, ess_flat, True, nsub, xw, ok)
-                    c, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
+                    c, _, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
                     return (v - self._unflat_c(c), xs,
                             jnp.asarray(use_warm))
 
@@ -901,7 +949,7 @@ class MechSystem:
                 def newton_body(_, v):
                     r, kd, dg, _, _ = self._setup_raw(v, x_beg, state, dt,
                                                       ess_flat, True, nsub)
-                    c, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
+                    c, _, _, _ = self._krylov_raw(kd, dg, r, ess_flat)
                     return v - self._unflat_c(c)
 
                 v = jax.lax.fori_loop(0, newton_iters, newton_body, v)
@@ -964,6 +1012,8 @@ class MechSystem:
         norm_max = max(opt.newton_rel_tol * norm0, opt.newton_abs_tol)
         it = 0
         kiters = []  # Krylov iterations per NR iteration (observability)
+        kconv = []  # per-solve converged flags (a capped solve is visible)
+        krelres_l = []  # achieved residual reduction per linear solve
         converged = False
         always_ls = opt.nl_solver == NLSolver.NRLS
         while True:
@@ -977,9 +1027,11 @@ class MechSystem:
                 break
             if it >= opt.newton_iter:
                 break
-            c, kit, kdone = self._timed("krylov_solve", self._krylov,
-                                        k_data, diag, r, ess_flat)
+            c, kit, kdone, krelres = self._timed(
+                "krylov_solve", self._krylov, k_data, diag, r, ess_flat)
             kiters.append(int(kit))
+            kconv.append(bool(kdone))
+            krelres_l.append(float(krelres))
             c = self._unflat_c(c)
             q1 = norm
 
@@ -1030,6 +1082,7 @@ class MechSystem:
         # the timing log
         self.last_newton_stats = {
             "nr_iters": it, "krylov_iters": kiters,
+            "krylov_converged": kconv, "krylov_relres": krelres_l,
             "norm0": norm0, "norm": norm,
         }
         return v, stress, state_end, converged, it, norm
@@ -1051,7 +1104,7 @@ class MechSystem:
                                                 ess_flat, False, nsub)
         y = self._grad_matvec_unconstrained(k_data, delta)
         y = jnp.where(ess_flat, 0.0, y) + r
-        c, kit, kdone = self._krylov(k_data, diag, y, ess_flat)
+        c, kit, kdone, _ = self._krylov(k_data, diag, y, ess_flat)
         return v_prev - self._unflat_c(c)
 
 

@@ -42,6 +42,15 @@ from .evptn import EvptnModel, batched_update
 
 IDP_TINY_SQRT = 1e-30
 
+# Batch crossover for the VMEM-resident Pallas dogleg stage: below this
+# point count the kernel's fixed dispatch/pipeline overhead loses to the
+# XLA while_loop (0.90x full-step at 32,768 points, BENCH_r04), above it
+# the kernel wins (6.9x stage at 884,736).  Measured on TPU v5e by
+# scripts/identification/pallas_crossover.py; the production dispatch in
+# evptn_cm.solve_staggered_cm_core compares the (static) trace-time
+# batch size against this.
+PALLAS_MIN_BATCH = 65536
+
 
 @dataclasses.dataclass(frozen=True)
 class ECMechModel:
@@ -518,14 +527,25 @@ def build_model(opt: ExaOptions, props: np.ndarray) -> ECMechModel:
     # production batches, scripts/identification/pallas_stage_bench.py;
     # results agree to 6e-11 and the f64 polish runs either way).  On
     # CPU the kernel would run in interpreter mode — keep it off there.
-    # Override either way with EXACONSTIT_PALLAS=0/1.
+    # Below PALLAS_MIN_BATCH points the kernel's dispatch overhead makes
+    # it a net loss (0.90x at 32k points, BENCH_r04) — the auto policy
+    # keeps XLA there and switches to the kernel above the measured
+    # crossover (scripts/identification/pallas_crossover.py).
+    # Override either way with EXACONSTIT_PALLAS=0/1 (forcing "1" also
+    # drops the batch threshold); EXACONSTIT_PALLAS_MIN_BATCH overrides
+    # the crossover alone.
     env_pallas = _os.environ.get("EXACONSTIT_PALLAS")
     if env_pallas is None:
         import jax as _jax
         use_pallas = mixed and _jax.default_backend() == "tpu"
+        min_batch = PALLAS_MIN_BATCH
     else:
         use_pallas = mixed and env_pallas == "1"
-    extra = {}
+        min_batch = 0
+    env_mb = _os.environ.get("EXACONSTIT_PALLAS_MIN_BATCH")
+    if env_mb:
+        min_batch = int(env_mb)
+    extra = {"pallas_min_batch": min_batch}
     # Per-substep hardness-rate blend: the one free constant of the
     # staggered map (gd_eff = a*gd_converged + (1-a)*gd_begin).  The
     # reference's closed-source integrator has a per-substep truncation

@@ -169,6 +169,10 @@ class EvptnModel:
     # iteration.  Voce kinetics only; enabled via EXACONSTIT_PALLAS=1
     # (interpret-mode fallback on CPU keeps tests runnable anywhere).
     use_pallas: bool = False
+    # batch crossover for the Pallas stage: the kernel only dispatches
+    # when the (static) point-batch size is >= this (models/ecmech.py
+    # PALLAS_MIN_BATCH carries the measured TPU v5e value; 0 = always)
+    pallas_min_batch: int = 0
     # consistent-tangent provenance (see evptn_cm.tangent_cm):
     # "lagged"  -> exact derivative of the production staggered map (the
     #              (e, xi) system at the frozen h the final pass solved

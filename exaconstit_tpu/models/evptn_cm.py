@@ -545,7 +545,13 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
                           Dsm.astype(f32), w_cm.astype(f32),
                           e_c.astype(f32), q_c.astype(f32))
 
-                if getattr(model, "use_pallas", False):
+                # batch-size policy: the kernel's fixed dispatch overhead
+                # loses below the measured crossover (ecmech.py
+                # PALLAS_MIN_BATCH); the batch size is static at trace
+                # time so this is a compile-time branch
+                if (getattr(model, "use_pallas", False)
+                        and x0.shape[-1]
+                        >= getattr(model, "pallas_min_batch", 0)):
                     from ..solvers.dogleg_pallas import dogleg_pallas
                     x32, ok, iters, _, J32 = dogleg_pallas(
                         model, x0.astype(f32), args32[0], args32[1],

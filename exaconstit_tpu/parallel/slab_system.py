@@ -329,7 +329,7 @@ class SlabMechSystem(MechSystem):
         krylov_sm = partial(
             shard_map, mesh=mesh_dev, check_vma=False,
             in_specs=(specs_n,) * 10 + (P(),),
-            out_specs=(specs_n, P(), P()))(krylov_k)
+            out_specs=(specs_n, P(), P(), P()))(krylov_k)
 
         def krylov_solve(k_data, diag, b, ess_flat):
             return krylov_sm(k_data, diag, b, ess_flat, self._conn_l,

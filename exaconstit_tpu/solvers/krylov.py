@@ -29,7 +29,10 @@ def pcg(matvec, precond, b, rel_tol, abs_tol, max_iter, dot=None):
 
     ``dot`` overrides the inner product (distributed callers inside
     shard_map pass an owner-masked psum dot).  Returns (x, iters,
-    converged).
+    converged, rel_reduction) where rel_reduction is the achieved
+    sqrt((z,r)/(z0,r0)) in the convergence-criterion norm — recorded so
+    iteration-capped (unconverged) solves are visible as such instead of
+    masquerading as convergence counts.
     """
     if dot is None:
         dot = jnp.vdot
@@ -67,14 +70,16 @@ def pcg(matvec, precond, b, rel_tol, abs_tol, max_iter, dot=None):
 
     state = (x, r, z, d, nom, jnp.asarray(0), nom <= r0)
     x, r, z, d, nom, it, done = jax.lax.while_loop(cond, body, state)
-    return x, it, done
+    relred = jnp.sqrt(jnp.maximum(nom, 0.0)
+                      / jnp.where(nom0 > 0.0, nom0, 1.0))
+    return x, it, done, relred
 
 
 def minres(matvec, precond, b, rel_tol, abs_tol, max_iter):
     """Preconditioned MINRES (Paige-Saunders).
 
     Convergence on the preconditioned residual norm phibar, like MFEM's
-    MINRESSolver.  Returns (x, iters, converged).
+    MINRESSolver.  Returns (x, iters, converged, rel_reduction).
     """
     dtype = b.dtype
     r1 = b  # x0 = 0
@@ -126,14 +131,16 @@ def minres(matvec, precond, b, rel_tol, abs_tol, max_iter):
                     it=st["it"] + 1, done=phibar <= goal)
 
     st = jax.lax.while_loop(cond, body, st)
-    return st["x"], st["it"], st["done"]
+    relred = st["phibar"] / jnp.where(beta1 > 0.0, beta1, 1.0)
+    return st["x"], st["it"], st["done"], relred
 
 
 def gmres(matvec, precond, b, rel_tol, abs_tol, max_iter, restart=50):
     """Left-preconditioned restarted GMRES(m), MFEM-style convergence.
 
     Static restart length; one lax.while_loop over restarts with a
-    fori_loop Arnoldi inside.  Returns (x, iters, converged).
+    fori_loop Arnoldi inside.  Returns (x, iters, converged,
+    rel_reduction).
     """
     n = b.shape[0]
     m = restart
@@ -220,11 +227,14 @@ def gmres(matvec, precond, b, rel_tol, abs_tol, max_iter, restart=50):
 
         y = jax.lax.fori_loop(0, m, backsub, y)
         x = x + jnp.einsum("k,kn->n", y, V[:m])
-        return dict(x=x, it=st["it"] + k_eff, done=done)
+        return dict(x=x, it=st["it"] + k_eff, done=done,
+                    res=jnp.abs(g[k_eff]))
 
-    st = dict(x=jnp.zeros_like(b), it=jnp.asarray(0), done=beta0 <= goal)
+    st = dict(x=jnp.zeros_like(b), it=jnp.asarray(0), done=beta0 <= goal,
+              res=beta0)
     st = jax.lax.while_loop(outer_cond, outer_body, st)
-    return st["x"], st["it"], st["done"]
+    relred = st["res"] / jnp.where(beta0 > 0.0, beta0, 1.0)
+    return st["x"], st["it"], st["done"], relred
 
 
 def pcg_refined(matvec, precond, matvec_lo, precond_lo, b, rel_tol, abs_tol,
@@ -241,7 +251,7 @@ def pcg_refined(matvec, precond, matvec_lo, precond_lo, b, rel_tol, abs_tol,
     requested tolerance.
 
     matvec/precond: f64; matvec_lo/precond_lo: f32 equivalents.
-    Returns (x, total_inner_iters, converged).
+    Returns (x, total_inner_iters, converged, rel_reduction).
     """
     if dot is None:
         dot = jnp.vdot
@@ -266,8 +276,8 @@ def pcg_refined(matvec, precond, matvec_lo, precond_lo, b, rel_tol, abs_tol,
         # direction of r restores the full f32 dynamic range.
         rnorm = jnp.sqrt(dot(r, r))
         scale = jnp.where(rnorm > 0.0, rnorm, 1.0)
-        dx, in_it, _ = pcg(matvec_lo, precond_lo, (r / scale).astype(lo),
-                           inner_rel, 0.0, budget, dot=dot)
+        dx, in_it, _, _ = pcg(matvec_lo, precond_lo, (r / scale).astype(lo),
+                              inner_rel, 0.0, budget, dot=dot)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         x = x + scale * dx.astype(b.dtype)
         r = b - matvec(x)
@@ -278,4 +288,6 @@ def pcg_refined(matvec, precond, matvec_lo, precond_lo, b, rel_tol, abs_tol,
     state = (jnp.zeros_like(b), b, nom0, jnp.asarray(0), jnp.asarray(0),
              nom0 <= r0bar)
     x, r, nom, it, rounds, done = jax.lax.while_loop(cond, body, state)
-    return x, it, done
+    relred = jnp.sqrt(jnp.maximum(nom, 0.0)
+                      / jnp.where(nom0 > 0.0, nom0, 1.0))
+    return x, it, done, relred
