@@ -157,8 +157,21 @@ def run_fem_curve_np(xtal, knots, theta, with_c1, tag):
     if os.environ.get("FITNP_FEM_TPU") == "1":
         # run the FEM leg on the tunnel (MTSDD solves are pure f64 —
         # emulated on TPU but bit-compatible at the 1e-3 bar; ~10x
-        # faster than this box's single CPU core)
+        # faster than this box's single CPU core).  The parent fitter
+        # runs on CPU (env -u PALLAS_AXON_POOL_IPS), so the tunnel
+        # address is restored from EXACONSTIT_TPU_TUNNEL, mirroring
+        # run_tests.sh / tests/test_full_regression_tpu.py.
         env = dict(os.environ)
+        addr = env.get("EXACONSTIT_TPU_TUNNEL")
+        if addr and not env.get("PALLAS_AXON_POOL_IPS"):
+            env["PALLAS_AXON_POOL_IPS"] = addr
+            env.pop("JAX_PLATFORMS", None)
+            env["XLA_FLAGS"] = " ".join(
+                f for f in env.get("XLA_FLAGS", "").split()
+                if "host_platform_device_count" not in f)
+            env["PYTHONPATH"] = ("/root/repo" + os.pathsep
+                                 + "/root/.axon_site" + os.pathsep
+                                 + env.get("PYTHONPATH", ""))
     else:
         env = {k: v for k, v in os.environ.items()
                if k != "PALLAS_AXON_POOL_IPS"}

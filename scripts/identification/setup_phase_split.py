@@ -110,8 +110,17 @@ def run_split(ncuts=(32, 32, 32), dt=0.05, reps=3, develop_steps=2):
         return scatter_cm(f)
 
     def ea(el_x, c6_q):
-        k = ops.assemble_ea_gradient_cm(el_x, dshape, qwts, c6_q, dt)
-        k = k * system.elem_mask[None, None, :]
+        # mirror the production dtype policy (driver._setup_core_cm):
+        # f32 block build for mixed-precision kinetics
+        if getattr(system, "_ea_asm_f32", False):
+            f32 = jnp.float32
+            k = ops.assemble_ea_gradient_cm(
+                el_x.astype(f32), dshape.astype(f32), qwts.astype(f32),
+                c6_q.astype(f32), jnp.asarray(dt, f32))
+            k = k * system.elem_mask[None, None, :].astype(f32)
+        else:
+            k = ops.assemble_ea_gradient_cm(el_x, dshape, qwts, c6_q, dt)
+            k = k * system.elem_mask[None, None, :]
         d = ops.ea_diagonal_cm(k, system.fes.ref.nnodes)
         return k, scatter_cm(d)
 

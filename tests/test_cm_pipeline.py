@@ -22,7 +22,13 @@ def _make_system(no_cm, workdir):
 
     env = os.environ
     old = env.get("EXACONSTIT_TPU_NO_CM")
+    old_asm = env.get("EXACONSTIT_EA_ASM_F32")
     env["EXACONSTIT_TPU_NO_CM"] = "1" if no_cm else "0"
+    # bit-for-bit CM-vs-PM comparison: pin the EA assembly to f64 on
+    # both paths (the CM production default builds the blocks in f32 —
+    # a deliberate ~1e-7-relative Jacobian, tested by the regression
+    # gates, not by this equivalence suite)
+    env["EXACONSTIT_EA_ASM_F32"] = "0"
     try:
         opt = parse_options("/root/reference/test/data/voce_full.toml")
         sim = Simulation(opt, workdir=str(workdir))
@@ -31,6 +37,10 @@ def _make_system(no_cm, workdir):
             env.pop("EXACONSTIT_TPU_NO_CM", None)
         else:
             env["EXACONSTIT_TPU_NO_CM"] = old
+        if old_asm is None:
+            env.pop("EXACONSTIT_EA_ASM_F32", None)
+        else:
+            env["EXACONSTIT_EA_ASM_F32"] = old_asm
     return sim
 
 
