@@ -260,6 +260,7 @@ def main():
         out[f"{p}_secs_per_nr_iter"] = (
             sum(s["secs"] for s in nk_steps) / max(tot_nr, 1))
         out[f"{p}_qpts"] = nk_npts
+        out[f"{p}_precond"] = getattr(bundle[0], "precond_kind", "jacobi")
         if not tag and ncuts == primary_mesh:
             # provisional primary metric: the steady-state (dt=0.01)
             # 32^3 step — directly comparable to BENCH_r04
@@ -314,35 +315,47 @@ def main():
                   flush=True)
 
     # ---- leg 3: 48^3 ramp + GMG-vs-Jacobi on the same system -----------
+    # The production default preconditioner is "auto" (GMG on structured
+    # single-device meshes, the decision BENCH_r05 recorded), so the
+    # primary 48^3 ramp above already ran GMG; the A/B re-ramps the SAME
+    # compiled system with the other preconditioner (only the Krylov
+    # program recompiles — MechSystem.rebuild_krylov).
     if on_tpu and leg_fits("newton_48", 500):
         bundle48 = do_size((48, 48, 48))
         if (bundle48 is not None
                 and os.environ.get("EXACONSTIT_BENCH_GMG", "1") != "0"
                 and leg_fits("gmg_48", 220)):
             t_leg = time.perf_counter()
-            jac_steps = out.get("newton_48_ramp_steps")
+            primary_steps = out.get("newton_48_ramp_steps")
             system48 = bundle48[0]
+            primary_kind = system48.precond_kind
+            other = "jacobi" if primary_kind == "gmg" else "gmg"
             try:
-                system48.rebuild_krylov("gmg")
-                if system48.precond_kind != "gmg":
-                    raise RuntimeError("gmg preconditioner unavailable")
-                gmg_steps, _ = newton_ramp(bundle48)
+                system48.rebuild_krylov(other)
+                if system48.precond_kind == primary_kind:
+                    raise RuntimeError(f"{other} preconditioner "
+                                       "unavailable")
+                other_steps, _ = newton_ramp(bundle48)
             except Exception as e:
-                print(f"# gmg bench failed: {str(e)[:400]}", flush=True)
-                gmg_steps = None
+                print(f"# precond A/B failed: {str(e)[:400]}", flush=True)
+                other_steps = None
             finally:
-                system48.rebuild_krylov("jacobi")
-            if gmg_steps:
+                system48.rebuild_krylov("auto")
+            if other_steps:
+                gmg_steps = (other_steps if other == "gmg"
+                             else primary_steps)
+                jac_steps = (other_steps if other == "jacobi"
+                             else primary_steps)
                 worst = max(gmg_steps, key=lambda s: s["secs"])
                 out["gmg_step_seconds"] = worst["secs"]
                 out["gmg_step_krylov_iters"] = worst["krylov_iters"]
                 out["gmg_ramp_steps"] = gmg_steps
-                if jac_steps:
-                    jtot = sum(s["secs"] for s in jac_steps)
-                    gtot = sum(s["secs"] for s in gmg_steps)
-                    out["gmg_ramp_speedup"] = jtot / gtot
-                print(f"# leg gmg_48 done in "
-                      f"{time.perf_counter()-t_leg:.0f}s", flush=True)
+                out["jacobi_ramp_steps"] = jac_steps
+                jtot = sum(s["secs"] for s in jac_steps)
+                gtot = sum(s["secs"] for s in gmg_steps)
+                out["gmg_ramp_speedup"] = jtot / gtot
+                print(f"# leg precond A/B (primary={primary_kind}) done "
+                      f"in {time.perf_counter()-t_leg:.0f}s", flush=True)
                 _emit(out)
 
     # ---- leg 4: 64^3 (2.1M qpts, single-chip capacity headline) --------
