@@ -567,6 +567,17 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
                     x32, ok, iters, _, J32 = dogleg_cm(
                         rj32, x0.astype(f32), model.fast_tol,
                         model.solver_max_iter, active0=active)
+                # Differentiating THROUGH a trust-region while_loop is
+                # exponentially unstable in forward mode (the radius
+                # updates / clips inject spurious tangent terms that the
+                # loop amplifies; measured |d state| growth to 1e285 by
+                # step 30 of the BCC identification ramp).  The stage
+                # result is detached; the f64 polish below then acts as
+                # differentiable quasi-Newton from the converged point,
+                # whose fixed-point tangent is the exact IFT tangent of
+                # r(x; p) = 0 (contraction |1 - J32^-1 J| ~ 1e-7/iter).
+                x32 = jax.lax.stop_gradient(x32)
+                J32 = jax.lax.stop_gradient(J32)
                 x = x32.astype(dtype)
 
                 def polish(_, x):
@@ -585,6 +596,13 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
             x, ok, iters, _, _ = dogleg_cm(rj, x0, model.solver_tol,
                                            model.solver_max_iter,
                                            active0=active)
+            # pure-f64 path (MTSDD): same IFT treatment — detach the
+            # trust-region iteration, then one differentiable Newton
+            # step from the converged point (a value no-op at tol; the
+            # tangent becomes the implicit-function-theorem tangent).
+            x = jax.lax.stop_gradient(x)
+            r, J = rj(x)
+            x = x - solve_dense_cm_eq(J, r)
             return x, ok, iters
 
         # begin-of-substep resolved stresses for the blend: e_c is

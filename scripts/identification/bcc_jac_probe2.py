@@ -106,7 +106,9 @@ def main():
                                              compute_tangent=False)
         return stress, s_end
 
-    for k in [12, 13, 14, 15, 20]:
+    ks = [int(v) for v in os.environ.get(
+        "BCC_PROBE_STEPS", "12,13,14,15,20").split(",")]
+    for k in ks:
         st = states_in[k]
         bt = betas[k]
         f = lambda th: one_step(th, st, bt, float(dts[k]))
