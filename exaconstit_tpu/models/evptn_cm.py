@@ -38,6 +38,24 @@ import jax.numpy as jnp
 from ..utils import tensors as tn
 
 
+def _ift_tangents():
+    """True when solver-boundary IFT tangents are requested.
+
+    Set EXACONSTIT_IFT_TANGENTS=1 in identification processes that
+    jacfwd through the constitutive update (scripts/identification/
+    fit_mtsdd_np.py etc.): the trust-region iterations are detached
+    from forward-mode AD either way (differentiating through them is
+    exponentially unstable — measured |d state| growth to 1e285 over
+    the BCC ramp), and the flag additionally attaches straight-through
+    implicit-function-theorem corrections whose primal is zero in
+    exact arithmetic.  Production leaves the flag unset so the value
+    path is bitwise free of the correction terms (under TPU f64
+    emulation a duplicated subgraph can round differently, which the
+    ill-conditioned MTSDD lanes amplify into the golden floors)."""
+    import os
+    return os.environ.get("EXACONSTIT_IFT_TANGENTS") == "1"
+
+
 def _sqrt_ad_safe(s):
     """sqrt(s) with a zero (not NaN) forward-mode tangent at s == 0.
 
@@ -597,12 +615,19 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
                                            model.solver_max_iter,
                                            active0=active)
             # pure-f64 path (MTSDD): same IFT treatment — detach the
-            # trust-region iteration, then one differentiable Newton
-            # step from the converged point (a value no-op at tol; the
-            # tangent becomes the implicit-function-theorem tangent).
+            # trust-region iteration, then (identification processes
+            # only, EXACONSTIT_IFT_TANGENTS=1) attach the implicit-
+            # function-theorem tangent by a straight-through Newton
+            # correction (primal dx - stop_gradient(dx), zero in exact
+            # arithmetic).  Production keeps the plain detached result:
+            # under TPU f64 EMULATION the duplicated subgraph can round
+            # differently, and the MTSDD conditioning amplifies any
+            # nonzero primal correction into the golden floors.
             x = jax.lax.stop_gradient(x)
-            r, J = rj(x)
-            x = x - solve_dense_cm_eq(J, r)
+            if _ift_tangents():
+                r, J = rj(x)
+                dx = solve_dense_cm_eq(J, r)
+                x = x - (dx - jax.lax.stop_gradient(dx))
             return x, ok, iters
 
         # begin-of-substep resolved stresses for the blend: e_c is

@@ -508,33 +508,33 @@ class SplineG(KMBalD):
         shrate = jnp.sum(jnp.abs(gdots), axis=-1, keepdims=True)
         dgam = shrate * dt
 
-        def _den(df):
-            # the Newton denominator 1 - df*dgam crosses zero where the
-            # map's local slope balances the increment; clamp so the
-            # step stays bounded (the loop still converges — it is a
-            # damped step there)
-            den = 1.0 - df * dgam
-            return jnp.where(jnp.abs(den) > 1e-3, den,
-                             jnp.where(den >= 0.0, 1e-3, -1e-3))
-
         def newton(_, g):
             f, df = self._f(g)
-            return g - (g - h_n - f * dgam) / _den(df)
+            r = g - h_n - f * dgam
+            return g - r / (1.0 - df * dgam)
 
         # fori_loop keeps the traced graph small (this runs inside the
         # staggered solve's while_loops; an unrolled scalar Newton there
         # explodes compile time).  The iteration's forward-mode tangents
         # are CUT (stop_gradient): mid-iteration denominator crossings
         # produce inf/NaN tangents even when the value path is fine —
-        # the BCC identification's jacfwd stall (bcc_jac_probe.py).  One
-        # differentiable Newton step from the detached solution restores
-        # the exact implicit-function-theorem tangent of
-        # r(g; h_n, dgam, theta) = 0 (and is a no-op on the value at
-        # convergence).
+        # the BCC identification's jacfwd stall (bcc_jac_probe.py).
+        # Identification processes (EXACONSTIT_IFT_TANGENTS=1, see
+        # evptn_cm._ift_tangents) additionally attach a straight-through
+        # Newton correction carrying the exact implicit-function-theorem
+        # tangent of r(g; h_n, dgam, theta) = 0; the production value
+        # path stays bitwise the loop's solution.
         g_star = _jax.lax.stop_gradient(
             _jax.lax.fori_loop(0, 30, newton, h_n))
+        from .evptn_cm import _ift_tangents
+        if not _ift_tangents():
+            return g_star
         f, df = self._f(g_star)
-        return g_star - (g_star - h_n - f * dgam) / _den(df)
+        den = 1.0 - df * dgam
+        den = jnp.where(jnp.abs(den) > 1e-3, den,
+                        jnp.where(den >= 0.0, 1e-3, -1e-3))
+        corr = (g_star - h_n - f * dgam) / den
+        return g_star - (corr - _jax.lax.stop_gradient(corr))
 
     def update_h_explicit(self, h_n, gdots, dt, temp_k):
         del temp_k

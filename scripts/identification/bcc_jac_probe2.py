@@ -18,6 +18,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ["EXACONSTIT_MTSDD_CAL"] = "file"
+os.environ["EXACONSTIT_IFT_TANGENTS"] = "1"
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -37,6 +37,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ["EXACONSTIT_MTSDD_CAL"] = "file"
+# solver-boundary IFT tangents for jacfwd (evptn_cm._ift_tangents);
+# the FEM legs run in subprocesses WITHOUT this flag, so their value
+# path is the production one
+os.environ["EXACONSTIT_IFT_TANGENTS"] = "1"
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -177,6 +181,10 @@ def run_fem_curve_np(xtal, knots, theta, with_c1, tag):
                if k != "PALLAS_AXON_POOL_IPS"}
         env["JAX_PLATFORMS"] = "cpu"
     env["EXACONSTIT_MTSDD_CAL_NP"] = cal_env(knots, theta, with_c1)
+    # the FEM truth must run the PRODUCTION value path (no straight-
+    # through IFT correction terms — those are for this process's
+    # jacfwd only)
+    env.pop("EXACONSTIT_IFT_TANGENTS", None)
     work = tempfile.mkdtemp(prefix=f"fitnp_{tag}_")
     t0 = time.time()
     out = subprocess.run(
