@@ -21,9 +21,22 @@ def _run(tmp_path, name, device_mesh, nsteps):
     from exaconstit_tpu.driver import Simulation, parse_options
 
     opt = parse_options(os.path.join(DATA, "voce_full.toml"))
+    # the 1e-6-level slab-vs-single comparison needs identical numerics:
+    # the slab side is f64-EA + Jacobi, so pin the single-device side to
+    # the same (its production defaults — f32 EA build + GMG — are
+    # covered by the regression gates)
+    opt.krylov_precond = "jacobi"
     wd = tmp_path / name
     wd.mkdir()
-    sim = Simulation(opt, workdir=str(wd), device_mesh=device_mesh)
+    old = os.environ.get("EXACONSTIT_EA_ASM_F32")
+    os.environ["EXACONSTIT_EA_ASM_F32"] = "0"
+    try:
+        sim = Simulation(opt, workdir=str(wd), device_mesh=device_mesh)
+    finally:
+        if old is None:
+            os.environ.pop("EXACONSTIT_EA_ASM_F32", None)
+        else:
+            os.environ["EXACONSTIT_EA_ASM_F32"] = old
     sim.nsteps = min(sim.nsteps, nsteps)
     sim.run(verbose=False)
     return sim, wd
