@@ -68,11 +68,20 @@ def _sqrt_ad_safe(s):
     correct choice for every use here (norms and norm-like quantities).
     """
     pos = s > 0.0
-    # s * 0.0 instead of a literal 0.0: it is 0 for s == 0 (keeping the
-    # zero tangent) but NaN for NaN input, so a poisoned lane still
-    # reports rnorm = NaN -> non-converged instead of silently "solved
-    # at x0 with rnorm 0" in the staggered production solve.
-    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), s * 0.0)
+    # NOTE (round-5 ADVICE adjudication): the advisor proposed
+    # propagating NaN here (s * 0.0 on the non-positive branch) so a
+    # poisoned lane reports non-convergence instead of "solved at x0
+    # with rnorm 0".  Measured consequence: the mtsdd_full 40-step ramp
+    # then DIVERGES at the dt=0.75 step-36 knee — at extreme trial
+    # states the kinetics overflow produces NaN trial/initial residuals
+    # routinely, and the rnorm=0 outcome functions as the elastic-guess
+    # fallback that lets the trust region continue (every other
+    # round-5 change was bitwise value-neutral; flipping only this
+    # branch reproduces/removes the divergence).  The silent-acceptance
+    # risk the advisor identified is real but bounded: a lane stuck at
+    # x0 still feeds the FEM residual, whose f64 Newton norm gates the
+    # outer convergence.
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
 
 
 # ---------------------------------------------------------------------------
