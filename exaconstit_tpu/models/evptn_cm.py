@@ -628,10 +628,12 @@ def solve_staggered_cm_core(model, dt, d_cm, w_cm, e0, q0, h0, temp_k,
             # only, EXACONSTIT_IFT_TANGENTS=1) attach the implicit-
             # function-theorem tangent by a straight-through Newton
             # correction (primal dx - stop_gradient(dx), zero in exact
-            # arithmetic).  Production keeps the plain detached result:
-            # under TPU f64 EMULATION the duplicated subgraph can round
-            # differently, and the MTSDD conditioning amplifies any
-            # nonzero primal correction into the golden floors.
+            # arithmetic).  Production keeps the plain detached result
+            # so the value path is bitwise the solver's output — the
+            # dt-ramp tail sits on a knife edge (see the round-5
+            # incident note in VERDICT_RESPONSE_r5.md) and even
+            # formally-zero correction terms change which side of it a
+            # fragile step lands on.
             x = jax.lax.stop_gradient(x)
             if _ift_tangents():
                 r, J = rj(x)
